@@ -1,0 +1,174 @@
+"""The data module: builds train/val datasets + loaders from a Config.
+
+Capability parity: reference pig/data.py:348-440 (PigData LightningDataModule):
+- prepare_data: optional episode extraction + normalization-stats pass;
+- setup: train (dialog/train, jittered per config) and FOUR validation sets —
+  val_dia / val_narr (fixed duration), val_dia3 / val_narr3 (duration=None,
+  subtitle lines, for duration-matched triplet eval);
+- train loader shuffled/batched; the two "*3" val loaders grouped by exact
+  audio duration.
+
+TPU-first: the train loader buckets durations to a static shape set
+(config.tpu.bucket_durations) so XLA compiles once per bucket; loaders
+prefetch to device asynchronously (loader.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+from peppa_tpu.config import Config
+from peppa_tpu.data import decode as D
+from peppa_tpu.data.dataset import (
+    PeppaPigDataset,
+    PeppaPigIterableDataset,
+    batches,
+    bucketed_batches,
+    collate,
+    grouped_batches,
+)
+from peppa_tpu.data.stats import compute_stats, save_stats
+from peppa_tpu.data.types import ClipBatch
+
+
+class PigData:
+    """Functional data module over the extracted episode tree."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        self.data = config.data
+        self._synthetic = None
+
+    # -------------------------------------------------------------- prepare
+    def prepare_data(self) -> None:
+        if self.data.extract:
+            from peppa_tpu.preprocess.extract import extract
+
+            logging.info("Extracting data for target size %s", self.data.target_size)
+            extract(self.data.target_size, data_dir=self.data.data_dir)
+        if self.data.prepare:
+            logging.info("Collecting stats on training data.")
+            train = PeppaPigIterableDataset(
+                target_size=self.data.target_size,
+                audio_sample_rate=self.data.audio_sample_rate,
+                split=["train"], fragment_type="dialog",
+                duration=self.data.train.duration,
+                jitter=self.data.train.jitter,
+                jitter_sd=self.data.train.jitter_sd,
+                data_dir=self.data.data_dir)
+            stats = compute_stats(train)
+            save_stats(os.path.join(self.data.data_dir, "out", "stats.npz"), stats)
+            logging.info("Saved stats")
+
+    # ---------------------------------------------------------------- setup
+    def setup(self) -> None:
+        d = self.data
+        common = dict(target_size=d.target_size,
+                      audio_sample_rate=d.audio_sample_rate,
+                      data_dir=d.data_dir)
+        if d.iterable:
+            self.train = PeppaPigIterableDataset(
+                split=["train"], fragment_type="dialog",
+                duration=d.train.duration, jitter=d.train.jitter,
+                jitter_sd=d.train.jitter_sd, **common)
+        else:
+            self.train = PeppaPigDataset(
+                force_cache=d.train.force_cache,
+                split=["train"], fragment_type="dialog",
+                duration=d.train.duration, jitter=d.train.jitter,
+                jitter_sd=d.train.jitter_sd, **common)
+        self.val_dia = PeppaPigDataset(
+            force_cache=d.val.force_cache, split=["val"], fragment_type="dialog",
+            duration=d.val.duration, jitter=d.val.jitter,
+            jitter_sd=d.val.jitter_sd, **common)
+        self.val_narr = PeppaPigDataset(
+            force_cache=d.val.force_cache, split=["val"], fragment_type="narration",
+            duration=d.val.duration, jitter=d.val.jitter,
+            jitter_sd=d.val.jitter_sd, **common)
+        self.val_dia3 = PeppaPigDataset(
+            force_cache=d.val.force_cache, split=["val"], fragment_type="dialog",
+            duration=None, jitter=False, **common)
+        self.val_narr3 = PeppaPigDataset(
+            force_cache=d.val.force_cache, split=["val"], fragment_type="narration",
+            duration=None, jitter=False, **common)
+
+    # -------------------------------------------------------------- loaders
+    def train_batches(self, epoch: int = 0) -> Iterator[ClipBatch]:
+        cfg = self.config
+        d = self.data
+        buckets = tuple(cfg.tpu.bucket_durations)
+        if hasattr(self.train, "__len__"):
+            yield from bucketed_batches(
+                self.train, batch_size=d.train.batch_size, buckets=buckets,
+                sample_rate=d.audio_sample_rate,
+                shuffle=d.train.shuffle, seed=cfg.training.seed + epoch)
+        else:
+            # iterable: window into bucket groups on the fly
+            pending = {b: [] for b in buckets}
+            from peppa_tpu.data.dataset import bucket_for
+
+            for item in self.train:
+                b = bucket_for(max(item.video_duration, item.audio_duration),
+                               buckets)
+                pending[b].append(item)
+                if len(pending[b]) == d.train.batch_size:
+                    yield collate(pending[b],
+                                  video_frames=int(round(b * D.FPS)),
+                                  audio_samples=int(round(b * d.audio_sample_rate)))
+                    pending[b] = []
+
+    def val_loaders(self) -> List[Iterator[ClipBatch]]:
+        """The 4-loader validation protocol (reference pig/data.py:422-435)."""
+        d = self.data
+        key = lambda x: x.audio_duration
+        return [
+            batches(self.val_dia, batch_size=d.val.batch_size),
+            batches(self.val_narr, batch_size=d.val.batch_size),
+            grouped_batches(self.val_dia3, key, batch_size=d.val.batch_size),
+            grouped_batches(self.val_narr3, key, batch_size=d.val.batch_size),
+        ]
+
+    def test_loader(self, fragment_type: str = "narration") -> Iterator[ClipBatch]:
+        d = self.data
+        ds = PeppaPigDataset(
+            force_cache=d.test.force_cache, split=["test"],
+            fragment_type=fragment_type, duration=d.test.duration,
+            jitter=d.test.jitter, target_size=d.target_size,
+            audio_sample_rate=d.audio_sample_rate, data_dir=d.data_dir)
+        return batches(ds, batch_size=d.test.batch_size)
+
+
+class SyntheticPigData(PigData):
+    """Drop-in PigData over synthetic clips (tests/bench without media)."""
+
+    def __init__(self, config: Config, n_train: int = 64, n_val: int = 32,
+                 seed: int = 0):
+        super().__init__(config)
+        self.n_train = n_train
+        self.n_val = n_val
+        self.seed = seed
+
+    def prepare_data(self) -> None:
+        pass
+
+    def setup(self) -> None:
+        from peppa_tpu.data.synthetic import SyntheticClipDataset
+
+        d = self.data
+        dur = d.train.duration or 2.3
+        rng = np.random.default_rng(self.seed)
+        ts = d.target_size
+        sr = d.audio_sample_rate
+        self.train = SyntheticClipDataset([dur] * self.n_train, ts, sr,
+                                          seed=self.seed)
+        self.val_dia = SyntheticClipDataset([d.val.duration or 2.3] * self.n_val,
+                                            ts, sr, seed=self.seed + 1)
+        self.val_narr = SyntheticClipDataset([d.val.duration or 2.3] * self.n_val,
+                                             ts, sr, seed=self.seed + 2)
+        line_durs = [float(x) for x in rng.integers(1, 4, size=self.n_val)]
+        self.val_dia3 = SyntheticClipDataset(line_durs, ts, sr, seed=self.seed + 3)
+        self.val_narr3 = SyntheticClipDataset(line_durs, ts, sr, seed=self.seed + 4)

@@ -1,0 +1,108 @@
+"""Synthetic clip data for tests and benchmarks.
+
+No reference equivalent (the reference has no test suite, SURVEY.md §4); this
+generates random audio/video clip pairs shaped exactly like the real pipeline's
+output so the model/training/eval stack can be exercised end-to-end without
+media files, and writes .npz episode trees so the *real* dataset classes can
+be driven in CI too.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from peppa_tpu.data.decode import FPS, save_clip_npz
+from peppa_tpu.data.types import Clip
+
+DEFAULT_SAMPLE_RATE = 44100
+
+
+class SyntheticClipDataset:
+    """Map-style dataset of random clips with given durations."""
+
+    def __init__(self, durations: Sequence[float],
+                 target_size: Tuple[int, int] = (180, 100),
+                 sample_rate: int = DEFAULT_SAMPLE_RATE,
+                 fps: float = FPS, seed: int = 0,
+                 correlated: bool = True):
+        self.durations = list(durations)
+        self.target_size = target_size
+        self.sample_rate = sample_rate
+        self.fps = fps
+        self.seed = seed
+        # correlated: audio/video share per-item structure so a model can
+        # actually learn/retrieve; False gives pure noise.
+        self.correlated = correlated
+
+    def __len__(self) -> int:
+        return len(self.durations)
+
+    def __getitem__(self, idx: int) -> Clip:
+        if idx >= len(self.durations):
+            raise IndexError
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        dur = self.durations[idx]
+        w, h = self.target_size
+        t = max(int(round(dur * self.fps)), 1)
+        s = max(int(round(dur * self.sample_rate)), 1)
+        base = rng.uniform(0, 1, size=(1, h, w, 3)).astype(np.float32)
+        video = np.clip(base + 0.05 * rng.standard_normal((t, h, w, 3)), 0, 1)
+        freq = 100.0 + (rng.integers(0, 40) * 50 if self.correlated else 0)
+        tt = np.arange(s) / self.sample_rate
+        audio = (0.1 * np.sin(2 * np.pi * freq * tt)
+                 + 0.01 * rng.standard_normal(s)).astype(np.float32)
+        return Clip(video=video.astype(np.float32), audio=audio,
+                    video_duration=float(dur), audio_duration=float(dur),
+                    filename=f"synthetic://{idx}", index=idx)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def make_synthetic_episode_tree(data_dir: str,
+                                target_size: Tuple[int, int] = (64, 48),
+                                fragment_type: str = "dialog",
+                                episodes: Sequence[int] = (1, 197),
+                                clips_per_episode: int = 2,
+                                clip_seconds: float = 7.0,
+                                sample_rate: int = 8000,
+                                seed: int = 0) -> None:
+    """Write data/out/{W}x{H}/{fragment}/{ep}/{i}.npz (+.json) episode clips.
+
+    Mirrors the layout the reference's extraction produces
+    (pig/preprocess.py:40-57) so PeppaPigIterableDataset globs it.
+    """
+    rng = np.random.default_rng(seed)
+    w, h = target_size
+    fps = FPS
+    for ep in episodes:
+        base = os.path.join(data_dir, "out", f"{w}x{h}", fragment_type, str(ep))
+        os.makedirs(base, exist_ok=True)
+        for i in range(clips_per_episode):
+            t = int(clip_seconds * fps)
+            s = int(clip_seconds * sample_rate)
+            video = rng.integers(0, 255, size=(t, h, w, 3), dtype=np.uint8)
+            audio = (0.1 * rng.standard_normal(s)).astype(np.float32)
+            # subtitle lines every ~2s for duration=None mode
+            subs = []
+            t0 = 0.0
+            j = 0
+            while t0 < clip_seconds - 1.0:
+                t1 = min(t0 + 2.0 + (j % 2), clip_seconds)
+                subs.append({"begin": _ts(t0), "end": _ts(t1),
+                             "text": f"line {j}"})
+                t0 = t1
+                j += 1
+            save_clip_npz(os.path.join(base, f"{i}.npz"), video, audio,
+                          fps=fps, sample_rate=sample_rate,
+                          meta={"subtitles": subs})
+
+
+def _ts(seconds: float) -> str:
+    m, s = divmod(seconds, 60.0)
+    hh, mm = divmod(int(m), 60)
+    return f"{hh:02d}:{mm:02d}:{s:06.3f}"

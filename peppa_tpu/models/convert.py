@@ -1,0 +1,331 @@
+"""Torch-checkpoint -> JAX pytree converters for pretrained weights.
+
+Capability parity: the reference loads
+- fairseq `wav2vec_small.pt` via fairseq+torchaudio import
+  (pig/models.py:71-72) — here a pure reader of the torch pickle that maps
+  fairseq parameter names onto our flax tree (the 28-d aux head stays at its
+  random init, exactly as torchaudio's import_fairseq_model leaves it);
+- torchvision Kinetics-400 video-resnet weights (pig/models.py:122-127) and
+  ImageNet resnet18 (pig/models.py:164) — here name-mapped from torchvision
+  state dicts (pass a downloaded `.pth` path).
+
+torch (CPU) is used strictly as a deserialization library.  Layout changes:
+torch conv weights (O, I, [T,] H, W) / (O, I, K) become flax kernels
+([T,] H, W, I, O) / (K, I, O); linear weights (O, I) become (I, O).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      dtype=np.float32)
+
+
+def _load_torch(path: str) -> Dict[str, Any]:
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model" in blob:  # fairseq checkpoint
+        return blob["model"]
+    if isinstance(blob, dict) and "state_dict" in blob:
+        return blob["state_dict"]
+    return blob
+
+
+def conv1d(w) -> np.ndarray:
+    return _np(w).transpose(2, 1, 0)  # (O,I,K) -> (K,I,O)
+
+
+def conv2d(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)  # (O,I,H,W) -> (H,W,I,O)
+
+
+def conv3d(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 4, 1, 0)  # (O,I,T,H,W) -> (T,H,W,I,O)
+
+
+def linear(w) -> np.ndarray:
+    return _np(w).T  # (O,I) -> (I,O)
+
+
+# -------------------------------------------------------------- wav2vec2
+
+def convert_wav2vec2_fairseq(state: Dict[str, Any]) -> Dict[str, Any]:
+    """fairseq Wav2Vec2 state dict -> our Wav2Vec2 trunk param tree.
+
+    Name map (fairseq wav2vec2-base, 'group_norm' extractor mode):
+    feature_extractor.conv_layers.{i}.0.weight  -> feature_extractor/conv{i}
+    feature_extractor.conv_layers.0.2.{w,b}     -> feature_extractor/group_norm
+    layer_norm.{w,b}                            -> proj_ln
+    post_extract_proj.{w,b}                     -> proj
+    encoder.pos_conv.0.weight_{g,v}, bias       -> pos_conv (weight-norm split)
+    encoder.layer_norm.{w,b}                    -> encoder_ln
+    encoder.layers.{i}.self_attn.{q,k,v,out}_proj -> layer{i}/attention/...
+    encoder.layers.{i}.self_attn_layer_norm     -> layer{i}/ln1
+    encoder.layers.{i}.fc1/fc2                  -> layer{i}/ffn_in/ffn_out
+    encoder.layers.{i}.final_layer_norm         -> layer{i}/ln2
+    """
+    p: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.0.weight" in state:
+        fe[f"conv{i}"] = {"kernel": conv1d(
+            state[f"feature_extractor.conv_layers.{i}.0.weight"])}
+        i += 1
+    if "feature_extractor.conv_layers.0.2.weight" in state:
+        fe["group_norm"] = {
+            "scale": _np(state["feature_extractor.conv_layers.0.2.weight"]),
+            "bias": _np(state["feature_extractor.conv_layers.0.2.bias"]),
+        }
+    p["feature_extractor"] = fe
+    p["proj_ln"] = {"scale": _np(state["layer_norm.weight"]),
+                    "bias": _np(state["layer_norm.bias"])}
+    p["proj"] = {"kernel": linear(state["post_extract_proj.weight"]),
+                 "bias": _np(state["post_extract_proj.bias"])}
+
+    # positional conv: fairseq weight-norm dim=2 -> torch weight_v (O, I/g, K),
+    # weight_g (1, 1, K).  flax layout (K, I/g, O): v axes (2,1,0), g -> (K,1,1).
+    wv = _np(state["encoder.pos_conv.0.weight_v"]).transpose(2, 1, 0)
+    wg = _np(state["encoder.pos_conv.0.weight_g"]).transpose(2, 1, 0)
+    p["pos_conv"] = {
+        "pos_conv_v": wv,
+        "pos_conv_g": wg,
+        "pos_conv_bias": _np(state["encoder.pos_conv.0.bias"]),
+    }
+    p["encoder_ln"] = {"scale": _np(state["encoder.layer_norm.weight"]),
+                       "bias": _np(state["encoder.layer_norm.bias"])}
+    i = 0
+    while f"encoder.layers.{i}.self_attn.q_proj.weight" in state:
+        pre = f"encoder.layers.{i}"
+        p[f"layer{i}"] = {
+            "attention": {
+                "q_proj": {"kernel": linear(state[f"{pre}.self_attn.q_proj.weight"]),
+                           "bias": _np(state[f"{pre}.self_attn.q_proj.bias"])},
+                "k_proj": {"kernel": linear(state[f"{pre}.self_attn.k_proj.weight"]),
+                           "bias": _np(state[f"{pre}.self_attn.k_proj.bias"])},
+                "v_proj": {"kernel": linear(state[f"{pre}.self_attn.v_proj.weight"]),
+                           "bias": _np(state[f"{pre}.self_attn.v_proj.bias"])},
+                "out_proj": {"kernel": linear(state[f"{pre}.self_attn.out_proj.weight"]),
+                             "bias": _np(state[f"{pre}.self_attn.out_proj.bias"])},
+            },
+            "ln1": {"scale": _np(state[f"{pre}.self_attn_layer_norm.weight"]),
+                    "bias": _np(state[f"{pre}.self_attn_layer_norm.bias"])},
+            "ffn_in": {"kernel": linear(state[f"{pre}.fc1.weight"]),
+                       "bias": _np(state[f"{pre}.fc1.bias"])},
+            "ffn_out": {"kernel": linear(state[f"{pre}.fc2.weight"]),
+                        "bias": _np(state[f"{pre}.fc2.bias"])},
+            "ln2": {"scale": _np(state[f"{pre}.final_layer_norm.weight"]),
+                    "bias": _np(state[f"{pre}.final_layer_norm.bias"])},
+        }
+        i += 1
+    return p
+
+
+def load_wav2vec2_pretrained(path: str, variables: Dict[str, Any],
+                             scope: str = "audio_encoder") -> Dict[str, Any]:
+    """Merge fairseq weights into an initialized variables tree (in place-ish)."""
+    state = _load_torch(path)
+    trunk = convert_wav2vec2_fairseq(state)
+    params = dict(variables["params"])
+    enc = dict(params[scope])
+    merged = dict(enc["wav2vec2"])
+    _merge_check(merged, trunk, f"{scope}/wav2vec2")
+    merged.update(trunk)
+    enc["wav2vec2"] = merged
+    params[scope] = enc
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
+# ------------------------------------------------------------ video resnets
+
+def _bn(state, prefix: str) -> Dict[str, Any]:
+    return {
+        "params": {"scale": _np(state[f"{prefix}.weight"]),
+                   "bias": _np(state[f"{prefix}.bias"])},
+        "stats": {"mean": _np(state[f"{prefix}.running_mean"]),
+                  "var": _np(state[f"{prefix}.running_var"])},
+    }
+
+
+def convert_video_resnet(state: Dict[str, Any], version: str):
+    """torchvision VideoResNet state dict -> (params, batch_stats) trees.
+
+    torchvision layouts:
+    - r2plus1d_18 stem: 0 conv(1,7,7), 1 bn, 3 conv(3,1,1), 4 bn
+      blocks: conv1.0.{0 conv,1 bn,3 conv} bn1 ... (Conv2Plus1D is a Sequential)
+    - r3d_18 / mc3_18 stem: 0 conv, 1 bn; blocks: conv1.{0 conv,1 bn} ...
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_bn(tree_p, tree_s, name, src_prefix):
+        bn = _bn(state, src_prefix)
+        tree_p[name] = {"bn": bn["params"]}
+        tree_s[name] = {"bn": bn["stats"]}
+
+    if version == "r2plus1d_18":
+        params["stem_spatial"] = {"kernel": conv3d(state["stem.0.weight"])}
+        put_bn(params, stats, "stem_bn1", "stem.1")
+        params["stem_temporal"] = {"kernel": conv3d(state["stem.3.weight"])}
+        put_bn(params, stats, "stem_bn2", "stem.4")
+    else:
+        params["stem"] = {"kernel": conv3d(state["stem.0.weight"])}
+        put_bn(params, stats, "stem_bn", "stem.1")
+
+    for li in range(1, 5):
+        for bi in range(2):
+            src = f"layer{li}.{bi}"
+            name = f"layer{li}_block{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            if version == "r2plus1d_18":
+                bp["conv1"] = {
+                    "spatial": {"kernel": conv3d(state[f"{src}.conv1.0.0.weight"])},
+                    "temporal": {"kernel": conv3d(state[f"{src}.conv1.0.3.weight"])},
+                }
+                bn_mid = _bn(state, f"{src}.conv1.0.1")
+                bp["conv1"]["bn_mid"] = {"bn": bn_mid["params"]}
+                bs["conv1"] = {"bn_mid": {"bn": bn_mid["stats"]}}
+                bp["conv2"] = {
+                    "spatial": {"kernel": conv3d(state[f"{src}.conv2.0.0.weight"])},
+                    "temporal": {"kernel": conv3d(state[f"{src}.conv2.0.3.weight"])},
+                }
+                bn_mid2 = _bn(state, f"{src}.conv2.0.1")
+                bp["conv2"]["bn_mid"] = {"bn": bn_mid2["params"]}
+                bs["conv2"] = {"bn_mid": {"bn": bn_mid2["stats"]}}
+            else:
+                bp["conv1"] = {"conv": {"kernel": conv3d(state[f"{src}.conv1.0.weight"])}}
+                bp["conv2"] = {"conv": {"kernel": conv3d(state[f"{src}.conv2.0.weight"])}}
+            # block-level BNs sit inside torchvision's conv Sequentials
+            put_bn(bp, bs, "bn1", f"{src}.conv1.1")
+            put_bn(bp, bs, "bn2", f"{src}.conv2.1")
+            if f"{src}.downsample.0.weight" in state:
+                bp["downsample"] = {"kernel": conv3d(state[f"{src}.downsample.0.weight"])}
+                put_bn(bp, bs, "bn_down", f"{src}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    return params, stats
+
+
+def convert_resnet18(state: Dict[str, Any]):
+    """torchvision resnet18 state dict -> (params, batch_stats) trees."""
+    params: Dict[str, Any] = {"stem_conv": {"kernel": conv2d(state["conv1.weight"])}}
+    stats: Dict[str, Any] = {}
+    bn = _bn(state, "bn1")
+    params["stem_bn"] = {"bn": bn["params"]}
+    stats["stem_bn"] = {"bn": bn["stats"]}
+    for li in range(1, 5):
+        for bi in range(2):
+            src = f"layer{li}.{bi}"
+            name = f"layer{li}_block{bi}"
+            bp = {"conv1": {"kernel": conv2d(state[f"{src}.conv1.weight"])},
+                  "conv2": {"kernel": conv2d(state[f"{src}.conv2.weight"])}}
+            bs = {}
+            for bn_name, bn_src in (("bn1", f"{src}.bn1"), ("bn2", f"{src}.bn2")):
+                b = _bn(state, bn_src)
+                bp[bn_name] = b["params"]
+                bs[bn_name] = b["stats"]
+            if f"{src}.downsample.0.weight" in state:
+                bp["downsample"] = {"kernel": conv2d(state[f"{src}.downsample.0.weight"])}
+                b = _bn(state, f"{src}.downsample.1")
+                bp["bn_down"] = b["params"]
+                bs["bn_down"] = b["stats"]
+            params[name] = bp
+            stats[name] = bs
+    return params, stats
+
+
+# ------------------------------------------------------------ top-level glue
+
+def _merge_check(dst: Dict[str, Any], src: Dict[str, Any], scope: str) -> None:
+    import jax
+
+    for k in src:
+        if k not in dst:
+            raise KeyError(f"Converted key {scope}/{k} missing in model tree")
+        dst_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), dst[k])
+        src_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), src[k])
+        if dst_shapes != src_shapes:
+            raise ValueError(
+                f"Shape mismatch at {scope}/{k}: model {dst_shapes} vs "
+                f"checkpoint {src_shapes}")
+
+
+def load_video_pretrained(path: str, variables: Dict[str, Any], version: str,
+                          scope: str = "video_encoder") -> Dict[str, Any]:
+    state = _load_torch(path)
+    if version == "static":
+        p, s = convert_resnet18(state)
+    else:
+        p, s = convert_video_resnet(state, version)
+    out_params = dict(variables["params"])
+    enc = dict(out_params[scope])
+    trunk = dict(enc["trunk"])
+    _merge_check(trunk, _strip_bn_split(p), f"{scope}/trunk")
+    trunk.update(_strip_bn_split(p))
+    enc["trunk"] = trunk
+    out_params[scope] = enc
+
+    out_stats = dict(variables.get("batch_stats", {}))
+    if out_stats:
+        enc_s = dict(out_stats.get(scope, {}))
+        trunk_s = dict(enc_s.get("trunk", {}))
+        trunk_s.update(_stats_tree(s))
+        enc_s["trunk"] = trunk_s
+        out_stats[scope] = enc_s
+
+    out = dict(variables)
+    out["params"] = out_params
+    if out_stats:
+        out["batch_stats"] = out_stats
+    return out
+
+
+def _strip_bn_split(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Our BatchNorm module nests 'bn'; flatten converter output accordingly."""
+    return p
+
+
+def _stats_tree(s: Dict[str, Any]) -> Dict[str, Any]:
+    return s
+
+
+def pretrained_loader_from_config(config) -> Optional[Callable]:
+    """Build the variables-merging loader the Trainer applies after init.
+
+    Mirrors reference behavior: audio pretrained from the fairseq path
+    (pig/models.py:71), video pretrained from Kinetics/ImageNet when the
+    weight files are present locally (torchvision downloads them; we read a
+    local copy at data/in/<version>.pth).
+    """
+
+    def load(variables):
+        if config.audio.pretrained:
+            path = config.audio.path
+            if os.path.exists(path):
+                logging.info("Loading pretrained wav2vec2 from %s", path)
+                variables = load_wav2vec2_pretrained(path, variables)
+            else:
+                logging.warning("audio.pretrained=True but %s not found; "
+                                "keeping random init", path)
+        if config.video.pretrained:
+            version = "static" if config.video.static else config.video.version
+            path = os.path.join(config.data.data_dir, "in", f"{version}.pth")
+            if os.path.exists(path):
+                logging.info("Loading pretrained video weights from %s", path)
+                variables = load_video_pretrained(path, variables, version)
+            else:
+                logging.warning("video.pretrained=True but %s not found; "
+                                "keeping random init", path)
+        return variables
+
+    return load

@@ -1,0 +1,222 @@
+"""3D-CNN video encoders: R(2+1)D-18, R3D-18, MC3-18 in Flax, channels-last.
+
+Capability parity: reference pig/models.py:113-154 (R3DEncoder), which wraps
+torchvision video resnets.  Architectures follow the published VideoResNet
+family ("A Closer Look at Spatiotemporal Convolutions", Tran et al. 2018):
+
+- r2plus1d_18: (2+1)D factorized convs — spatial (1,3,3) then temporal (3,1,1)
+  with an intermediate width M = (t*d^2*C_in*C_out) / (d^2*C_in + t*C_out),
+  stem = (1,7,7) s(1,2,2) -> 45ch -> (3,1,1) -> 64ch.
+- r3d_18: full 3D (3,3,3) convs, stem (3,7,7) s(1,2,2).
+- mc3_18: 3D convs in the stem + layer1, (1,3,3) convs in layers 2-4.
+
+All use BasicBlocks [2,2,2,2], widths (64,128,256,512), strides (1,2,2,2),
+BatchNorm + ReLU.  Layout is TPU-native channels-last (B, T, H, W, C) so XLA
+tiles the convs onto the MXU; normalization stats are folded in up front
+(reference pig/models.py:140, 327-342 build_transform).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from peppa_tpu.models.layers import make_video_pool
+from peppa_tpu.ops.similarity import l2_normalize
+
+
+def _conv(x, features: int, kernel: Tuple[int, int, int],
+          strides: Tuple[int, int, int], dtype, name: str):
+    pad = [(k // 2, k // 2) for k in kernel]
+    return nn.Conv(features, kernel, strides=strides, padding=pad,
+                   use_bias=False, dtype=dtype, name=name)(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm3d parity: eps 1e-5, running-stat momentum 0.1 (torch)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        return nn.BatchNorm(use_running_average=use_running_average,
+                            momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                            name="bn")(x)
+
+
+def midplanes(c_in: int, c_out: int) -> int:
+    """R(2+1)D intermediate width (Tran et al. 2018, eq. for M_i)."""
+    return (c_in * c_out * 3 * 3 * 3) // (c_in * 3 * 3 + 3 * c_out)
+
+
+class Conv2Plus1D(nn.Module):
+    """(1,3,3) spatial conv -> BN -> ReLU -> (3,1,1) temporal conv.
+
+    `mid_features`: torchvision computes midplanes once per block from the
+    block's (in, out) and reuses it for conv2 — pass it in for weight parity.
+    """
+    features: int
+    in_features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    mid_features: int = 0
+
+    @staticmethod
+    def downsample_stride(s: int):
+        return (s, s, s)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        mid = self.mid_features or midplanes(self.in_features, self.features)
+        s = self.stride
+        x = _conv(x, mid, (1, 3, 3), (1, s, s), self.dtype, "spatial")
+        x = BatchNorm(name="bn_mid")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = _conv(x, self.features, (3, 1, 1), (s, 1, 1), self.dtype, "temporal")
+        return x
+
+
+class Conv3DSimple(nn.Module):
+    """Full (3,3,3) 3D conv."""
+    features: int
+    in_features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    mid_features: int = 0
+
+    @staticmethod
+    def downsample_stride(s: int):
+        return (s, s, s)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        s = self.stride
+        return _conv(x, self.features, (3, 3, 3), (s, s, s), self.dtype, "conv")
+
+
+class Conv3DNoTemporal(nn.Module):
+    """(1,3,3) spatial-only conv (MC3 layers 2-4)."""
+    features: int
+    in_features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    mid_features: int = 0
+
+    @staticmethod
+    def downsample_stride(s: int):
+        return (1, s, s)  # no temporal downsampling (torchvision parity)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        s = self.stride
+        return _conv(x, self.features, (1, 3, 3), (1, s, s), self.dtype, "conv")
+
+
+CONV_MAKERS = {
+    "r2plus1d_18": [Conv2Plus1D] * 4,
+    "r3d_18": [Conv3DSimple] * 4,
+    "mc3_18": [Conv3DSimple] + [Conv3DNoTemporal] * 3,
+}
+
+
+class BasicBlock(nn.Module):
+    features: int
+    in_features: int
+    conv_maker: type
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        # torchvision computes midplanes once per block (in -> out) and uses
+        # it for both convs; reproduce for weight-shape parity.
+        mid = midplanes(self.in_features, self.features)
+        out = self.conv_maker(self.features, self.in_features, self.stride,
+                              self.dtype, mid, name="conv1")(x, train)
+        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = self.conv_maker(self.features, self.features, 1,
+                              self.dtype, mid, name="conv2")(out, train)
+        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+        if self.stride != 1 or self.in_features != self.features:
+            ds = self.conv_maker.downsample_stride(self.stride)
+            identity = _conv(x, self.features, (1, 1, 1), ds,
+                             self.dtype, "downsample")
+            identity = BatchNorm(name="bn_down")(identity,
+                                                 use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+class VideoResNetTrunk(nn.Module):
+    """Stem + layers1-4 of the VideoResNet family; input (B, T, H, W, 3)."""
+    version: str = "r2plus1d_18"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        makers = CONV_MAKERS[self.version]
+        if self.version == "r2plus1d_18":
+            x = _conv(x, 45, (1, 7, 7), (1, 2, 2), self.dtype, "stem_spatial")
+            x = BatchNorm(name="stem_bn1")(x, use_running_average=not train)
+            x = nn.relu(x)
+            x = _conv(x, 64, (3, 1, 1), (1, 1, 1), self.dtype, "stem_temporal")
+            x = BatchNorm(name="stem_bn2")(x, use_running_average=not train)
+            x = nn.relu(x)
+        else:
+            x = _conv(x, 64, (3, 7, 7), (1, 2, 2), self.dtype, "stem")
+            x = BatchNorm(name="stem_bn")(x, use_running_average=not train)
+            x = nn.relu(x)
+
+        widths = (64, 128, 256, 512)
+        strides = (1, 2, 2, 2)
+        in_features = 64
+        for li, (width, stride, maker) in enumerate(zip(widths, strides, makers), 1):
+            for bi in range(2):
+                x = BasicBlock(width, in_features, maker,
+                               stride if bi == 0 else 1, self.dtype,
+                               name=f"layer{li}_block{bi}")(x, train)
+                in_features = width
+        return x  # (B, T', H', W', 512)
+
+
+class R3DEncoder(nn.Module):
+    """Video branch: normalize -> trunk -> pool -> project -> L2 norm.
+
+    Parity: reference pig/models.py:113-154 (R3DEncoder.encode).  `mean`/`std`
+    are the channel normalization stats (peppa or kinetics,
+    pig/models.py:327-342); inputs are float video in [0, 1], channels-last.
+    """
+    version: str = "r2plus1d_18"
+    pooling: str = "attention"
+    project: bool = True
+    mean: Tuple[float, float, float] = (0.43216, 0.394666, 0.37645)
+    std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray,
+                 frame_lengths: Optional[jnp.ndarray] = None,
+                 train: bool = False,
+                 tap: str = "embedding") -> jnp.ndarray:
+        mean = jnp.asarray(self.mean, dtype=video.dtype)
+        std = jnp.asarray(self.std, dtype=video.dtype)
+        x = (video - mean) / std
+        x = VideoResNetTrunk(self.version, self.dtype, name="trunk")(
+            x.astype(self.dtype), train)
+        if tap == "features":
+            return x
+        # frame lengths survive the trunk's temporal stride (T/8 for layers 2-4)
+        feat_lengths = None
+        if frame_lengths is not None:
+            t_stride = 8 if self.version != "mc3_18" else 1
+            feat_lengths = jnp.maximum((frame_lengths + t_stride - 1) // t_stride, 1)
+        pooled = make_video_pool(self.pooling)(x, feat_lengths)
+        if tap == "pooled":
+            return pooled
+        out = nn.Dense(512, dtype=self.dtype, name="project")(pooled) \
+            if self.project else pooled
+        if tap == "projected":
+            return out
+        return l2_normalize(out.astype(jnp.float32), axis=1)

@@ -1,0 +1,150 @@
+"""The training driver: the Lightning-Trainer-equivalent, TPU-native.
+
+Capability parity: reference run.py:17-62 + pytorch_lightning.Trainer usage:
+- builds data + model from config, stamps git commit;
+- sanity validation steps before training (run.py:58 num_sanity_val_steps=15);
+- epoch loop: jit'd train step per batch (grad accumulation inside the optax
+  chain), logging every N steps;
+- per-epoch validation (the 4-loader protocol) driving TWO checkpoint
+  monitors (valnarr_rec_fixed, valnarr_triplet) + save_last (run.py:32-55);
+- wall-clock budget `max_time="DD:HH:MM:SS"` (run.py:57), limit_train/val
+  batches, max optimizer steps (t_total).
+
+TPU-native: state and batches live on a jax.sharding.Mesh; the batch is
+sharded over 'data'; params replicated (TP rules available, parallel/mesh.py);
+the train step donates the state buffers.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from peppa_tpu.config import Config
+from peppa_tpu.models.dual_encoder import init_model
+from peppa_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch, state_shardings
+from peppa_tpu.training.checkpoint import CheckpointManager, next_version, save_hparams
+from peppa_tpu.training.loggers import MetricsLogger
+from peppa_tpu.training.optimization import make_optimizer
+from peppa_tpu.training.state import TrainState, param_count
+from peppa_tpu.training.step import make_eval_step, make_train_step
+from peppa_tpu.evaluation.validation import run_validation
+
+
+def parse_max_time(value: Optional[str]) -> Optional[float]:
+    """'DD:HH:MM:SS' -> seconds (reference run.py:57 format)."""
+    if not value:
+        return None
+    parts = [int(p) for p in value.split(":")]
+    while len(parts) < 4:
+        parts.insert(0, 0)
+    d, h, m, s = parts
+    return ((d * 24 + h) * 60 + m) * 60 + s
+
+
+class Trainer:
+    def __init__(self, config: Config, log_dir: str = "lightning_logs",
+                 version_dir: Optional[str] = None):
+        self.config = config
+        self.version_dir = version_dir or next_version(log_dir)
+        self.logger = MetricsLogger(self.version_dir)
+        self.mesh = make_mesh(config.tpu.mesh_shape, config.tpu.mesh_axes)
+
+    def fit(self, data, pretrained_loader=None) -> TrainState:
+        cfg = self.config
+        tcfg = cfg.training
+        save_hparams(self.version_dir, cfg)
+        data.prepare_data()
+        data.setup()
+
+        # ---- model + state
+        rng = jax.random.PRNGKey(tcfg.seed)
+        model, variables = init_model(cfg, rng)
+        if pretrained_loader is not None:
+            variables = pretrained_loader(variables)
+        logging.info("Model parameters: %.1fM",
+                     param_count(variables["params"]) / 1e6)
+        tx = make_optimizer(cfg.optimizer,
+                            accumulate_grad_batches=tcfg.accumulate_grad_batches,
+                            freeze_feature_extractor=cfg.audio.freeze_feature_extractor,
+                            freeze_encoder_layers=cfg.audio.freeze_encoder_layers,
+                            params=variables["params"])
+        state = TrainState.create(variables, tx)
+        with self.mesh:
+            state = jax.tree.map(
+                lambda x, s: jax.device_put(x, s), state,
+                state_shardings(state, self.mesh))
+
+        train_step = make_train_step(model, cfg.margin,
+                                     donate=cfg.tpu.donate_state)
+        eval_step = make_eval_step(model)
+        step_rng = jax.random.PRNGKey(tcfg.seed + 1)
+        shard_fn = lambda b: shard_batch(b, self.mesh)
+        ckpt = CheckpointManager(self.version_dir)
+
+        # ---- sanity validation (reference run.py:58)
+        if tcfg.num_sanity_val_steps:
+            logging.info("Sanity validation (%d batches)", tcfg.num_sanity_val_steps)
+            with self.mesh:
+                run_validation(eval_step, state.variables, data.val_loaders(),
+                               shard_fn=shard_fn, n_samples=10,
+                               limit_batches=tcfg.num_sanity_val_steps,
+                               seed=tcfg.seed)
+
+        # ---- budgets
+        max_seconds = parse_max_time(tcfg.max_time)
+        t_total = cfg.optimizer.t_total
+        max_opt_steps = tcfg.max_steps if tcfg.max_steps is not None else t_total
+        accum = max(tcfg.accumulate_grad_batches, 1)
+        start = time.time()
+        micro_step = 0
+        epoch = 0
+        done = False
+
+        while not done:
+            if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
+                break
+            epoch_t0 = time.time()
+            n_batches = 0
+            with self.mesh:
+                for batch in data.train_batches(epoch):
+                    if tcfg.limit_train_batches is not None and \
+                            n_batches >= tcfg.limit_train_batches:
+                        break
+                    batch = shard_fn(batch)
+                    state, metrics = train_step(state, batch, step_rng)
+                    micro_step += 1
+                    n_batches += 1
+                    if micro_step % tcfg.log_every_n_steps == 0:
+                        loss = float(metrics["train_loss"])
+                        self.logger.log({"train_loss": loss}, step=micro_step,
+                                        epoch=epoch)
+                        logging.info("epoch %d step %d loss %.4f",
+                                     epoch, micro_step, loss)
+                    opt_steps = micro_step // accum
+                    if max_opt_steps is not None and opt_steps >= max_opt_steps:
+                        done = True
+                        break
+                    if max_seconds is not None and time.time() - start > max_seconds:
+                        logging.info("max_time reached, stopping")
+                        done = True
+                        break
+
+                # ---- validation + checkpoints (per epoch)
+                metrics = run_validation(
+                    eval_step, state.variables, data.val_loaders(),
+                    shard_fn=shard_fn, n_samples=500,
+                    limit_batches=tcfg.limit_val_batches, seed=tcfg.seed)
+            self.logger.log(metrics, step=micro_step, epoch=epoch)
+            logging.info("epoch %d validation: %s", epoch,
+                         {k: round(v, 4) for k, v in metrics.items()})
+            ckpt.on_validation_end(state, metrics, epoch)
+            epoch += 1
+
+        self.logger.close()
+        return state

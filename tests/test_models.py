@@ -1,0 +1,130 @@
+"""Shape/sanity tests for the encoders and the dual model (tiny shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peppa_tpu.config import Config, conditions
+from peppa_tpu.data.types import ClipBatch, TripletBatch
+from peppa_tpu.models.dual_encoder import PeppaPig, init_model
+from peppa_tpu.models.video3d import midplanes
+from peppa_tpu.models.wav2vec2 import CONV_LAYERS, Wav2Vec2Config, Wav2Vec2Encoder, conv_output_length
+
+
+def tiny_config(**kw):
+    cfg = Config()
+    cfg.data.target_size = (32, 32)
+    cfg.training.precision = "fp32"
+    for k, v in kw.items():
+        setattr(cfg.video, k, v) if hasattr(cfg.video, k) else None
+    return cfg
+
+
+TINY_W2V = Wav2Vec2Config(embed_dim=32, num_layers=2, num_heads=4, ffn_dim=64,
+                          num_out=28, pos_conv_kernel=16, pos_conv_groups=4,
+                          layer_drop=0.0)
+
+
+def test_conv_output_length():
+    # x320 downsample of the published conv stack
+    s = 320
+    for samples, in_1 in [(3200, None), (16000, None)]:
+        frames = int(conv_output_length(jnp.asarray(samples)))
+        assert frames == int(np.floor(
+            _ref_conv_len(samples)))
+
+
+def _ref_conv_len(samples):
+    length = samples
+    for _, k, stride in CONV_LAYERS:
+        length = (length - k) // stride + 1
+    return length
+
+
+def test_wav2vec2_encoder_shapes_and_norm(rng):
+    enc = Wav2Vec2Encoder(full=True, pooling="attention", project=True,
+                          cfg=TINY_W2V)
+    audio = jnp.asarray(rng.normal(size=(2, 3200)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), audio)
+    out = enc.apply(variables, audio)
+    assert out.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, rtol=1e-4)
+    # taps
+    conv = enc.apply(variables, audio, tap="conv")
+    assert conv.shape[2] == 512
+    ctx = enc.apply(variables, audio, tap="context")
+    assert ctx.shape[2] == TINY_W2V.embed_dim
+    logits = enc.apply(variables, audio, tap="logits")
+    assert logits.shape[2] == 28
+
+
+def test_wav2vec2_full_false_uses_conv_features(rng):
+    enc = Wav2Vec2Encoder(full=False, pooling="average", project=True, cfg=TINY_W2V)
+    audio = jnp.asarray(rng.normal(size=(1, 3200)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), audio)
+    pooled = enc.apply(variables, audio, tap="pooled")
+    assert pooled.shape == (1, 512)
+
+
+def test_midplanes_matches_formula():
+    # golden values from the (2+1)D paper formula
+    assert midplanes(3, 64) == (3 * 64 * 27) // (3 * 9 + 3 * 64)
+    assert midplanes(64, 64) == (64 * 64 * 27) // (64 * 9 + 3 * 64)
+    assert midplanes(64, 128) == (64 * 128 * 27) // (64 * 9 + 3 * 128)
+
+
+@pytest.mark.parametrize("version", ["r2plus1d_18", "r3d_18", "mc3_18"])
+def test_video_encoder_shapes(rng, version):
+    from peppa_tpu.models.video3d import R3DEncoder
+
+    enc = R3DEncoder(version=version, pooling="attention")
+    video = jnp.asarray(rng.uniform(size=(1, 4, 32, 32, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), video)
+    out = enc.apply(variables, video)
+    assert out.shape == (1, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, rtol=1e-4)
+
+
+def test_image_encoder_shapes(rng):
+    from peppa_tpu.models.resnet2d import ImageEncoder
+
+    enc = ImageEncoder(pooling="average")
+    video = jnp.asarray(rng.uniform(size=(1, 3, 32, 32, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), video)
+    out = enc.apply(variables, video)
+    assert out.shape == (1, 512)
+
+
+def test_dual_encoder_forward_clip_and_triplet(rng):
+    cfg = tiny_config()
+    # shrink the audio trunk via monkeypatching is overkill: use the real
+    # module but minuscule inputs
+    model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                  audio_samples=3200, video_frames=4)
+    batch = ClipBatch(
+        video=jnp.asarray(rng.uniform(size=(2, 4, 32, 32, 3)).astype(np.float32)),
+        audio=jnp.asarray(rng.normal(size=(2, 3200)).astype(np.float32)),
+        video_duration=jnp.asarray([0.4, 0.4]),
+        audio_duration=jnp.asarray([0.4, 0.4]),
+        video_frames=jnp.asarray([4, 4], jnp.int32),
+        audio_samples=jnp.asarray([3200, 3200], jnp.int32))
+    out = model.apply(variables, batch)
+    assert out.video.shape == (2, 512)
+    assert out.audio.shape == (2, 512)
+
+    trip = TripletBatch(anchor=batch.audio, positive=batch.video, negative=batch.video)
+    tout = model.apply(variables, trip)
+    assert tout.anchor.shape == (2, 512)
+    # positive == negative here, so similarity diff must be ~0
+    np.testing.assert_allclose(np.asarray(tout.positive), np.asarray(tout.negative))
+
+
+def test_conditions_cover_reference_ablations():
+    cfgs = conditions()
+    assert set(cfgs) == {"base", "freeze_wav2vec", "jitter", "pretraining_v",
+                         "pretraining_a", "pretraining_none", "static"}
+    assert cfgs["freeze_wav2vec"].audio.freeze_encoder_layers == 12
+    assert cfgs["static"].video.static
+    assert not cfgs["pretraining_none"].audio.pretrained
+    assert not cfgs["pretraining_none"].video.pretrained
