@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# A TPU plugin loaded from sitecustomize may have already imported jax and
+# called jax.config.update("jax_platforms", ...), which takes precedence over
+# the env var — override it back at the config level.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
