@@ -44,6 +44,7 @@ class PeppaPig(nn.Module):
             project=cfg.audio.project,
             cfg=audio_cfg,
             dtype=dtype,
+            use_pallas=cfg.tpu.use_pallas,
             name="audio_encoder",
         )
         if cfg.video.static:

@@ -131,13 +131,23 @@ class ConvPositionalEmbedding(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention; swappable with the Pallas flash kernel."""
+    """Multi-head self-attention.
+
+    With `use_pallas` and a TPU backend, the score/softmax/PV chain runs as
+    the fused full-block Pallas kernel (ops/pallas/attention.py) — no
+    (B, H, T, T) round trip through HBM.  Attention dropout (training) uses
+    the XLA path, whose probability tensor the dropout mask needs anyway.
+    """
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+    def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray],
                  deterministic: bool) -> jnp.ndarray:
+        from peppa_tpu.ops.pallas.attention import MAX_T_PAD, mha_attention
+        from peppa_tpu.ops.pallas.common import use_pallas as pallas_ok
+
         d = self.cfg.embed_dim
         h = self.cfg.num_heads
         hd = d // h
@@ -146,16 +156,22 @@ class SelfAttention(nn.Module):
         k = qkv_dense("k_proj")(x).reshape(*x.shape[:2], h, hd)
         v = qkv_dense("v_proj")(x).reshape(*x.shape[:2], h, hd)
         scale = hd ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                            preferred_element_type=jnp.float32)
-        if mask is not None:
-            # mask: (B, T) True=valid; keys at padding get -inf
-            logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        if self.cfg.attention_dropout > 0 and not deterministic:
-            probs = nn.Dropout(self.cfg.attention_dropout)(
-                probs, deterministic=False)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        attn_dropout = self.cfg.attention_dropout > 0 and not deterministic
+        if (self.use_pallas and pallas_ok() and not attn_dropout
+                and x.shape[1] <= MAX_T_PAD):
+            out = mha_attention(q, k, v, lengths=lengths, scale=scale)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                                preferred_element_type=jnp.float32)
+            if lengths is not None:
+                # keys at padding get -inf
+                mask = length_mask(lengths, x.shape[1])
+                logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            if attn_dropout:
+                probs = nn.Dropout(self.cfg.attention_dropout)(
+                    probs, deterministic=False)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(*x.shape[:2], d)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
@@ -164,12 +180,13 @@ class TransformerLayer(nn.Module):
     """Post-norm transformer layer (wav2vec2-base: layer_norm_first=False)."""
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+    def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray],
                  deterministic: bool) -> jnp.ndarray:
-        attn = SelfAttention(self.cfg, self.dtype, name="attention")(
-            x, mask, deterministic)
+        attn = SelfAttention(self.cfg, self.dtype, self.use_pallas,
+                             name="attention")(x, lengths, deterministic)
         attn = nn.Dropout(self.cfg.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x + attn)
 
@@ -185,6 +202,7 @@ class Wav2Vec2(nn.Module):
     """The wav2vec2-base trunk with tap points."""
     cfg: Wav2Vec2Config = Wav2Vec2Config()
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray,
@@ -207,19 +225,19 @@ class Wav2Vec2(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_ln")(x)
         x = nn.Dropout(self.cfg.dropout)(x, deterministic=deterministic)
 
-        mask = None
-        if mask_padding and frame_lengths is not None:
-            mask = length_mask(frame_lengths, x.shape[1])
+        attn_lengths = frame_lengths if (mask_padding and
+                                         frame_lengths is not None) else None
 
         for i in range(self.cfg.num_layers):
-            layer = TransformerLayer(self.cfg, self.dtype, name=f"layer{i}")
+            layer = TransformerLayer(self.cfg, self.dtype, self.use_pallas,
+                                     name=f"layer{i}")
             if not deterministic and self.cfg.layer_drop > 0:
                 keep = jax.random.bernoulli(
                     self.make_rng("layerdrop"), 1.0 - self.cfg.layer_drop)
-                y = layer(x, mask, deterministic)
+                y = layer(x, attn_lengths, deterministic)
                 x = jnp.where(keep, y, x)
             else:
-                x = layer(x, mask, deterministic)
+                x = layer(x, attn_lengths, deterministic)
         if tap == "context":
             return x, frame_lengths
 
@@ -242,6 +260,7 @@ class Wav2Vec2Encoder(nn.Module):
     project: bool = True
     cfg: Wav2Vec2Config = Wav2Vec2Config()
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray,
@@ -257,7 +276,8 @@ class Wav2Vec2Encoder(nn.Module):
         trunk_tap = "logits" if self.full else "conv"
         if tap in ("conv", "context", "logits"):
             trunk_tap = tap
-        feats, frame_lengths = Wav2Vec2(self.cfg, self.dtype, name="wav2vec2")(
+        feats, frame_lengths = Wav2Vec2(self.cfg, self.dtype, self.use_pallas,
+                                        name="wav2vec2")(
             waveform, sample_lengths, deterministic, trunk_tap, mask_padding)
         if tap in ("conv", "context", "logits"):
             return feats

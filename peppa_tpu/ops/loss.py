@@ -44,11 +44,21 @@ def contrastive(m: jnp.ndarray, margin: float = 0.2) -> jnp.ndarray:
     return (jnp.sum(c) - jnp.sum(jnp.diagonal(c))) / (b * b)
 
 
-def triplet_loss(v: jnp.ndarray, a: jnp.ndarray, margin: float = 0.2) -> jnp.ndarray:
+def triplet_loss(v: jnp.ndarray, a: jnp.ndarray, margin: float = 0.2,
+                 use_pallas: bool = True) -> jnp.ndarray:
     """Triplet margin loss between video embeddings `v` and audio embeddings `a`.
 
-    Parity: reference pig/loss.py:28-39 (TripletLoss.forward).
+    Parity: reference pig/loss.py:28-39 (TripletLoss.forward).  On TPU the
+    normalize+matmul+hinge chain runs as one fused Pallas kernel
+    (ops/pallas/loss.py); elsewhere the jnp path below.
     """
+    if use_pallas and v.ndim == 2 and v.shape[0] <= 4096:
+        from peppa_tpu.ops.pallas.common import use_pallas as pallas_ok
+
+        if pallas_ok():
+            from peppa_tpu.ops.pallas.loss import fused_triplet_loss
+
+            return fused_triplet_loss(v, a, margin)
     return contrastive(cosine_matrix(v, a), margin=margin)
 
 
