@@ -2,15 +2,23 @@
 
 Metric (north star, BASELINE.json): 2.3 s audio-video clip pairs per second
 per chip, full dual-encoder forward (wav2vec2-base + R(2+1)D-18 at 180x100)
-plus the similarity+recall scoring.  vs_baseline is against the 5000
-pairs/s/chip target.
+plus the similarity+recall scoring, vs the 5000 pairs/s/chip target.
+
+Measurement method: the per-execution host<->device round trip in this
+environment (tunneled PJRT) costs ~35 ms regardless of the computation, so a
+single timed dispatch measures the tunnel, not the chip.  Instead the batch
+loop runs ON DEVICE — one jit'd program `lax.scan`s over K batches generated
+on device from per-iteration PRNG keys (distinct inputs; nothing can be
+constant-folded or result-cached), reducing each batch's outputs into a
+carried scalar so no large buffer ever leaves the chip.  Throughput is taken
+from the slope between a K_small and a K_large run, which cancels the fixed
+dispatch/fetch overhead exactly; host transfer is one scalar either way.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 """
 
 import json
 import os
-import sys
 import time
 
 
@@ -22,50 +30,59 @@ def main():
     from peppa_tpu.config import default_config
     from peppa_tpu.data.types import ClipBatch
     from peppa_tpu.models.dual_encoder import init_model
-    from peppa_tpu.ops.metrics import recall_at_n
     from peppa_tpu.ops.loss import triplet_loss
+    from peppa_tpu.ops.metrics import recall_at_n
 
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    k_small = int(os.environ.get("BENCH_K_SMALL", "2"))
+    k_large = int(os.environ.get("BENCH_K_LARGE", "12"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     cfg = default_config()
     cfg.training.precision = "bf16"
     frames, samples = 23, 101430  # 2.3 s at 10 fps / 44.1 kHz
+    b = batch_size
 
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   audio_samples=samples, video_frames=frames)
 
-    @jax.jit
-    def encode_and_score(vs, batch):
-        out = model.apply(vs, batch, train=False)
+    def one_batch(key):
+        kv, ka = jax.random.split(key)
+        batch = ClipBatch(
+            video=jax.random.uniform(kv, (b, frames, 100, 180, 3), jnp.float32),
+            audio=jax.random.normal(ka, (b, samples), jnp.float32) * 0.1,
+            video_duration=jnp.full((b,), 2.3),
+            audio_duration=jnp.full((b,), 2.3),
+            video_frames=jnp.full((b,), frames, jnp.int32),
+            audio_samples=jnp.full((b,), samples, jnp.int32))
+        out = model.apply(variables, batch, train=False)
         loss = triplet_loss(out.video, out.audio, margin=cfg.margin)
-        rec = recall_at_n(out.video, out.audio,
-                          jnp.eye(out.video.shape[0]), n=10)
-        return out.video, out.audio, loss, rec
+        rec = recall_at_n(out.video, out.audio, jnp.eye(b), n=10)
+        return jnp.sum(out.video) + jnp.sum(out.audio) + loss + jnp.sum(rec)
 
-    rng = np.random.default_rng(0)
-    batch = ClipBatch(
-        video=jnp.asarray(rng.uniform(size=(batch_size, frames, 100, 180, 3))
-                          .astype(np.float32)),
-        audio=jnp.asarray((rng.standard_normal((batch_size, samples)) * 0.1)
-                          .astype(np.float32)),
-        video_duration=jnp.full((batch_size,), 2.3),
-        audio_duration=jnp.full((batch_size,), 2.3),
-        video_frames=jnp.full((batch_size,), frames, jnp.int32),
-        audio_samples=jnp.full((batch_size,), samples, jnp.int32))
+    import functools
 
-    for _ in range(warmup):
-        out = encode_and_score(variables, batch)
-    jax.block_until_ready(out[0])
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(seed, k):
+        keys = jax.random.split(jax.random.PRNGKey(seed), k)
+        acc, _ = jax.lax.scan(
+            lambda c, key: (c + one_batch(key), None), 0.0, keys)
+        return acc
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = encode_and_score(variables, batch)
-    jax.block_until_ready(out[0])
-    dt = (time.perf_counter() - t0) / iters
+    def timed(seed, k):
+        t0 = time.perf_counter()
+        v = float(np.asarray(run_k(seed, k)))  # host fetch forces completion
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
 
-    pairs_per_s = batch_size / dt
+    # compile both programs (uncounted)
+    timed(0, k_small)
+    timed(0, k_large)
+
+    per_batch = min(
+        (timed(1 + r, k_large) - timed(101 + r, k_small)) / (k_large - k_small)
+        for r in range(repeats))
+    pairs_per_s = batch_size / per_batch
     n_chips = max(len(jax.devices()), 1)
     value = pairs_per_s / n_chips
     print(json.dumps({

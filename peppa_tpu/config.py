@@ -106,6 +106,7 @@ class TPUConfig:
     remat_audio: bool = False
     bucket_durations: Sequence[float] = (2.3, 3.2, 4.0, 6.0)  # pad-to-bucket shapes
     use_pallas: bool = True  # fused Pallas kernels where available
+    native_loader: bool = True  # C++ packed-cache batch loader where available
     prefetch: int = 2  # device prefetch depth
 
 

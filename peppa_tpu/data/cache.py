@@ -1,0 +1,130 @@
+"""Packed clip-cache format: one memory-mappable file for a whole dataset.
+
+The reference caches one torch pickle per clip (pig/data.py:201-234,
+items-*/{i}.pt) and pays a deserialization per item per epoch.  The packed
+format here holds every item's raw payload (uint8 video frames, f32 audio)
+behind a fixed-size index, so the native loader (peppa_tpu/native) can mmap
+it and assemble padded batches with pure memcpy — no pickle, no decode, page
+cache shared across worker threads.
+
+Layout (little-endian, version 1 — mirrored by native/src/peppa_loader.cpp):
+
+    header:  magic 'PPKC' u32 | version u32 | n_items u64
+    index:   n_items x { video_off u64 | t,h,w,c u32 | audio_off u64 | s u64 |
+                         video_duration f32 | audio_duration f32 }
+    payload: concatenated video uint8 blobs and audio f32 blobs
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from peppa_tpu.data.types import Clip
+
+MAGIC = 0x434B5050  # "PPKC"
+VERSION = 1
+_HEADER = struct.Struct("<IIQ")
+_ENTRY = struct.Struct("<QIIIIQQff")
+
+
+def write_pack(path: str, clips: Iterable[Clip]) -> int:
+    """Write clips into a pack file; returns the item count.
+
+    Video is stored uint8 (input float in [0,1] is quantized x255 — the same
+    quantization the .npz item cache applies); audio is stored f32.
+    """
+    items = []
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(b"\x00" * _HEADER.size)  # placeholder; index written later
+        payload_parts = []
+        offset = None  # computed after count is known
+
+        # first pass: buffer payloads in-file after a seek once count known is
+        # impossible for a streaming iterable — so collect entries and write
+        # payloads to a side file region after the fact.
+        # Simpler: materialize payload bytes sequentially in a second file
+        # section; we must know n_items to place the index, so spool payloads
+        # to a temp file and concatenate.
+        payload_tmp = path + ".payload"
+        with open(payload_tmp, "wb") as pf:
+            pos = 0
+            for clip in clips:
+                video = clip.video
+                if video.dtype != np.uint8:
+                    video = (np.clip(video, 0.0, 1.0) * 255.0).astype(np.uint8)
+                audio = np.ascontiguousarray(clip.audio, dtype=np.float32).reshape(-1)
+                t, h, w, c = video.shape
+                v_off = pos
+                pf.write(np.ascontiguousarray(video).tobytes())
+                pos += video.nbytes
+                a_off = pos
+                pf.write(audio.tobytes())
+                pos += audio.nbytes
+                items.append((v_off, t, h, w, c, a_off, audio.shape[0],
+                              float(clip.video_duration),
+                              float(clip.audio_duration)))
+        base = _HEADER.size + _ENTRY.size * len(items)
+        f.seek(0)
+        f.write(_HEADER.pack(MAGIC, VERSION, len(items)))
+        for (v_off, t, h, w, c, a_off, s, vd, ad) in items:
+            f.write(_ENTRY.pack(base + v_off, t, h, w, c, base + a_off, s,
+                                vd, ad))
+        with open(payload_tmp, "rb") as pf:
+            while True:
+                chunk = pf.read(1 << 24)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.remove(payload_tmp)
+    os.replace(tmp, path)
+    return len(items)
+
+
+class PackReader:
+    """numpy/mmap reader of the pack format (pure-Python fallback path)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        magic, version, n = _HEADER.unpack_from(self._mm[:_HEADER.size].tobytes())
+        if magic != MAGIC or version != VERSION:
+            raise ValueError(f"not a pack file: {path}")
+        self.n_items = n
+        raw = self._mm[_HEADER.size:_HEADER.size + _ENTRY.size * n].tobytes()
+        self._entries = [_ENTRY.unpack_from(raw, i * _ENTRY.size)
+                         for i in range(n)]
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    def meta(self, i: int) -> Tuple[Tuple[int, int, int, int], int, float, float]:
+        v_off, t, h, w, c, a_off, s, vd, ad = self._entries[i]
+        return (t, h, w, c), s, vd, ad
+
+    def __getitem__(self, i: int) -> Clip:
+        v_off, t, h, w, c, a_off, s, vd, ad = self._entries[i]
+        video = np.asarray(self._mm[v_off:v_off + t * h * w * c]
+                           ).reshape(t, h, w, c)
+        audio = np.frombuffer(self._mm[a_off:a_off + s * 4].tobytes(),
+                              dtype=np.float32)
+        return Clip(video=video.astype(np.float32) / 255.0, audio=audio,
+                    video_duration=vd, audio_duration=ad, index=i)
+
+    def raw_video(self, i: int) -> np.ndarray:
+        v_off, t, h, w, c, *_ = self._entries[i]
+        return np.asarray(self._mm[v_off:v_off + t * h * w * c]
+                          ).reshape(t, h, w, c)
+
+    def durations(self) -> np.ndarray:
+        return np.asarray([(e[7], e[8]) for e in self._entries], np.float32)
+
+
+def pack_from_dataset(dataset, path: str) -> int:
+    """Materialize any Clip-iterable dataset (e.g. PeppaPigDataset) as a pack."""
+    return write_pack(path, iter(dataset))

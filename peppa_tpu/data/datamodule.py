@@ -101,7 +101,10 @@ class PigData:
         cfg = self.config
         d = self.data
         buckets = tuple(cfg.tpu.bucket_durations)
-        if hasattr(self.train, "__len__"):
+        native = self._native_train_batches(epoch)
+        if native is not None:
+            yield from native
+        elif hasattr(self.train, "__len__"):
             yield from bucketed_batches(
                 self.train, batch_size=d.train.batch_size, buckets=buckets,
                 sample_rate=d.audio_sample_rate,
@@ -120,6 +123,47 @@ class PigData:
                                   video_frames=int(round(b * D.FPS)),
                                   audio_samples=int(round(b * d.audio_sample_rate)))
                     pending[b] = []
+
+    def _native_train_batches(self, epoch: int) -> Optional[Iterator[ClipBatch]]:
+        """Fast path: packed cache + C++ prefetch loader (peppa_tpu/native).
+
+        The pack is materialized once beside the item cache; afterwards every
+        epoch is mmap reads + memcpy batch assembly in C++ worker threads,
+        with uint8 video shipped to the device.  Falls back to the Python
+        loader when the native toolchain or a cache directory is unavailable.
+        """
+        cfg = self.config
+        d = self.data
+        if not getattr(cfg.tpu, "native_loader", True):
+            return None
+        train = self.train
+        cache_dir = getattr(train, "cache_dir", None)
+        if cache_dir is None:
+            return None
+        try:
+            from peppa_tpu.native import (NativeBatchLoader, NativePack,
+                                          native_available)
+            from peppa_tpu.native.loader import bucket_plan
+        except Exception:
+            return None
+        if not native_available():
+            return None
+        pack_path = os.path.join(cache_dir, "items.pack")
+        if not os.path.exists(pack_path):
+            from peppa_tpu.data.cache import pack_from_dataset
+
+            logging.info("Materializing packed cache %s", pack_path)
+            pack_from_dataset(train, pack_path)
+        pack = NativePack(pack_path)
+        plan = bucket_plan(
+            pack.durations(), buckets=tuple(cfg.tpu.bucket_durations),
+            batch_size=d.train.batch_size, target_hw=d.target_size,
+            sample_rate=d.audio_sample_rate,
+            shuffle=d.train.shuffle, seed=cfg.training.seed + epoch)
+        logging.info("Native loader: %d batches from %s", len(plan), pack_path)
+        return iter(NativeBatchLoader(pack, plan,
+                                      n_threads=max(d.num_workers, 1),
+                                      depth=cfg.tpu.prefetch * 2))
 
     def val_loaders(self) -> List[Iterator[ClipBatch]]:
         """The 4-loader validation protocol (reference pig/data.py:422-435)."""

@@ -87,6 +87,8 @@ class ImageEncoder(nn.Module):
                  train: bool = False,
                  tap: str = "embedding") -> jnp.ndarray:
         b, t, h, w, c = video.shape
+        if video.dtype == jnp.uint8:
+            video = video.astype(jnp.float32) / 255.0  # native-loader path
         mean = jnp.asarray(self.mean, dtype=video.dtype)
         std = jnp.asarray(self.std, dtype=video.dtype)
         x = (video - mean) / std

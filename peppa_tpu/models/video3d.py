@@ -200,6 +200,10 @@ class R3DEncoder(nn.Module):
                  frame_lengths: Optional[jnp.ndarray] = None,
                  train: bool = False,
                  tap: str = "embedding") -> jnp.ndarray:
+        if video.dtype == jnp.uint8:
+            # native-loader path: uint8 ships to the device (4x less traffic),
+            # /255 fuses into the normalization here
+            video = video.astype(jnp.float32) / 255.0
         mean = jnp.asarray(self.mean, dtype=video.dtype)
         std = jnp.asarray(self.std, dtype=video.dtype)
         x = (video - mean) / std

@@ -1,0 +1,124 @@
+"""Tests for the packed cache format + the native C++ batch loader."""
+
+import numpy as np
+import pytest
+
+from peppa_tpu.data.cache import PackReader, write_pack
+from peppa_tpu.data.types import Clip
+
+
+def make_clips(rng, n=7, h=24, w=32):
+    clips = []
+    for i in range(n):
+        t = int(rng.integers(3, 9))
+        s = int(rng.integers(800, 2000))
+        clips.append(Clip(
+            video=rng.uniform(size=(t, h, w, 3)).astype(np.float32),
+            audio=rng.normal(size=(s,)).astype(np.float32),
+            video_duration=t / 10.0, audio_duration=s / 800.0))
+    return clips
+
+
+def test_pack_roundtrip(tmp_path, rng):
+    clips = make_clips(rng)
+    path = str(tmp_path / "test.pack")
+    n = write_pack(path, clips)
+    assert n == len(clips)
+    reader = PackReader(path)
+    assert len(reader) == len(clips)
+    for i, clip in enumerate(clips):
+        got = reader[i]
+        want_q = (np.clip(clip.video, 0, 1) * 255).astype(np.uint8) / 255.0
+        np.testing.assert_allclose(got.video, want_q.astype(np.float32),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(got.audio, clip.audio)
+        assert got.video_duration == pytest.approx(clip.video_duration)
+        assert got.audio_duration == pytest.approx(clip.audio_duration)
+
+
+def test_native_pack_matches_python_reader(tmp_path, rng):
+    from peppa_tpu.native import NativePack, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    clips = make_clips(rng)
+    path = str(tmp_path / "test.pack")
+    write_pack(path, clips)
+    pack = NativePack(path)
+    reader = PackReader(path)
+    assert len(pack) == len(clips)
+    for i in range(len(clips)):
+        video, audio, vd, ad = pack.item(i)
+        np.testing.assert_array_equal(video, reader.raw_video(i))
+        np.testing.assert_array_equal(audio, reader[i].audio)
+        assert vd == pytest.approx(clips[i].video_duration)
+    pack.close()
+
+
+def test_native_batch_loader_padding_and_order(tmp_path, rng):
+    from peppa_tpu.native import NativeBatchLoader, NativePack, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    clips = make_clips(rng, n=10)
+    path = str(tmp_path / "test.pack")
+    write_pack(path, clips)
+    pack = NativePack(path)
+
+    pad_t, pad_s = 10, 2048
+    plan = [([0, 3, 5], (pad_t, 24, 32, 3, pad_s)),
+            ([1, 2], (pad_t, 24, 32, 3, pad_s)),
+            ([9, 8, 7, 6], (pad_t, 24, 32, 3, pad_s))]
+    loader = NativeBatchLoader(pack, plan, n_threads=3, depth=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    for (idx_list, _), batch in zip(plan, batches):
+        assert batch.video.shape == (len(idx_list), pad_t, 24, 32, 3)
+        assert batch.video.dtype == np.uint8
+        assert batch.audio.shape == (len(idx_list), pad_s)
+        for row, item_i in enumerate(idx_list):
+            clip = clips[item_i]
+            t = clip.video.shape[0]
+            s = clip.audio.shape[0]
+            want_v = (np.clip(clip.video, 0, 1) * 255).astype(np.uint8)
+            np.testing.assert_array_equal(batch.video[row, :t], want_v)
+            assert not batch.video[row, t:].any()  # zero padding
+            np.testing.assert_array_equal(batch.audio[row, :s], clip.audio)
+            assert not batch.audio[row, s:].any()
+            assert batch.video_frames[row] == t
+            assert batch.audio_samples[row] == s
+            assert batch.video_duration[row] == pytest.approx(
+                clip.video_duration)
+    loader.close()
+    pack.close()
+
+
+def test_bucket_plan_matches_python_bucketing(tmp_path, rng):
+    from peppa_tpu.native.loader import bucket_plan
+
+    durations = np.asarray([[0.5, 0.5], [2.0, 2.2], [2.3, 2.3], [5.0, 5.1],
+                            [2.3, 2.3], [0.4, 0.4]], np.float32)
+    plan = bucket_plan(durations, buckets=(2.3, 6.0), batch_size=2,
+                       target_hw=(32, 24), sample_rate=800, fps=10,
+                       drop_last=False)
+    # items 0,1,2,4,5 fit the 2.3 bucket; 3 fits the 6.0 bucket
+    buckets_used = {p[1][0] for p in plan}
+    assert buckets_used == {23, 60}
+    all_items = sorted(i for p in plan for i in p[0])
+    assert all_items == [0, 1, 2, 3, 4, 5]
+
+
+def test_uint8_video_through_model(rng):
+    """uint8 batches (native loader path) produce the same embeddings as float."""
+    import jax
+    import jax.numpy as jnp
+
+    from peppa_tpu.models.video3d import R3DEncoder
+
+    enc = R3DEncoder(version="r3d_18", pooling="average", project=False)
+    vid_u8 = rng.integers(0, 256, size=(2, 4, 16, 16, 3), dtype=np.uint8)
+    vs = enc.init(jax.random.PRNGKey(0), jnp.asarray(vid_u8))
+    out_u8 = enc.apply(vs, jnp.asarray(vid_u8))
+    out_f32 = enc.apply(vs, jnp.asarray(vid_u8.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f32),
+                               rtol=1e-5, atol=1e-5)
