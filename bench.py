@@ -46,7 +46,7 @@ def main():
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   audio_samples=samples, video_frames=frames)
 
-    def one_batch(key):
+    def one_batch(vs, key):
         kv, ka = jax.random.split(key)
         batch = ClipBatch(
             video=jax.random.uniform(kv, (b, frames, 100, 180, 3), jnp.float32),
@@ -55,7 +55,7 @@ def main():
             audio_duration=jnp.full((b,), 2.3),
             video_frames=jnp.full((b,), frames, jnp.int32),
             audio_samples=jnp.full((b,), samples, jnp.int32))
-        out = model.apply(variables, batch, train=False)
+        out = model.apply(vs, batch, train=False)
         loss = triplet_loss(out.video, out.audio, margin=cfg.margin)
         rec = recall_at_n(out.video, out.audio, jnp.eye(b), n=10)
         return jnp.sum(out.video) + jnp.sum(out.audio) + loss + jnp.sum(rec)
@@ -63,15 +63,17 @@ def main():
     import functools
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def run_k(seed, k):
+    def run_k(vs, seed, k):
+        # vs is an argument (NOT a closure capture): closed-over params would
+        # be inlined into the HLO as 500 MB of constants.
         keys = jax.random.split(jax.random.PRNGKey(seed), k)
         acc, _ = jax.lax.scan(
-            lambda c, key: (c + one_batch(key), None), 0.0, keys)
+            lambda c, key: (c + one_batch(vs, key), None), 0.0, keys)
         return acc
 
     def timed(seed, k):
         t0 = time.perf_counter()
-        v = float(np.asarray(run_k(seed, k)))  # host fetch forces completion
+        v = float(np.asarray(run_k(variables, seed, k)))  # fetch forces completion
         assert np.isfinite(v)
         return time.perf_counter() - t0
 

@@ -1,0 +1,281 @@
+"""Forced alignment of subtitle text to audio.
+
+Capability parity: reference pig/forced_align.py, which shells into gentle
+(a Kaldi HMM wrapper) to time-align each subtitle line and writes per-utterance
+JSONs consumed by the targeted-triplets eval-set generation
+(generate_targeted_triplets_eval_sets.py) and the GRSA analysis.
+
+TPU-native design: the native dependency (Kaldi decoding) is replaced by CTC
+Viterbi forced alignment over character log-probabilities from a CTC acoustic
+model — e.g. a wav2vec2 + char head checkpoint loaded through
+models/convert.py.  The alignment itself (`ctc_forced_align`) is a pure
+dynamic program over (frames, tokens), independent of any model, and the JSON
+output schema matches the reference's gentle output
+(`words[].{word, alignedWord, case, start, end, phones[]}` plus clip metadata
+— see /root/reference/data/out/realign/dialog/ep_197/3/3.json) so downstream
+tooling is interchangeable.  When the `gentle` package is importable it is
+used as a drop-in backend instead.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# the torchaudio/fairseq 28-token char vocabulary for wav2vec2 CTC heads
+CTC_CHARS = ["<s>", "<pad>", "</s>", "<unk>", "|", "E", "T", "A", "O", "N",
+             "I", "H", "S", "R", "D", "L", "U", "M", "W", "C", "F", "G", "Y",
+             "P", "B", "V", "K", "'", ]
+BLANK = 1  # <pad> is the CTC blank in the fairseq convention
+WORD_SEP = 4  # '|'
+
+
+def clean(text: str) -> str:
+    """Strip bracketed annotations (reference pig/forced_align.py:69-72)."""
+    return re.sub(r"\[[^()]*\]", "", text)
+
+
+def text_to_tokens(text: str) -> Tuple[List[int], List[Tuple[int, int]]]:
+    """Uppercase text -> CTC token ids + per-word (start, end) token spans."""
+    vocab = {c: i for i, c in enumerate(CTC_CHARS)}
+    tokens: List[int] = []
+    word_spans: List[Tuple[int, int]] = []
+    words = [w for w in re.split(r"\s+", clean(text).upper().strip()) if w]
+    for wi, word in enumerate(words):
+        start = len(tokens)
+        for ch in word:
+            tokens.append(vocab.get(ch, 3))  # unknown chars -> <unk>
+        word_spans.append((start, len(tokens)))
+        if wi != len(words) - 1:
+            tokens.append(WORD_SEP)
+    return tokens, word_spans
+
+
+def ctc_forced_align(log_probs: np.ndarray, tokens: Sequence[int],
+                     blank: int = BLANK) -> Tuple[np.ndarray, float]:
+    """Viterbi forced alignment through the standard CTC graph.
+
+    log_probs: (T, V) log softmax frames; tokens: target ids (no blanks).
+    Returns (frame_labels, score): frame_labels[t] = index into `tokens` of
+    the token emitted at frame t, or -1 for blank; score = best path
+    log-likelihood.  The CTC graph interleaves blanks:
+    states s = 0..2N, even = blank, odd = token (s-1)//2; skip transitions
+    allowed between different consecutive tokens.
+    """
+    T, V = log_probs.shape
+    N = len(tokens)
+    if N == 0 or T < N:
+        raise ValueError(f"cannot align {N} tokens into {T} frames")
+    S = 2 * N + 1
+    NEG = -1e30
+
+    def emit(s: int) -> int:
+        return blank if s % 2 == 0 else tokens[(s - 1) // 2]
+
+    alpha = np.full((T, S), NEG, np.float64)
+    back = np.zeros((T, S), np.int32)
+    alpha[0, 0] = log_probs[0, blank]
+    alpha[0, 1] = log_probs[0, tokens[0]]
+    for t in range(1, T):
+        lp = log_probs[t]
+        prev = alpha[t - 1]
+        for s in range(S):
+            best, arg = prev[s], s
+            if s >= 1 and prev[s - 1] > best:
+                best, arg = prev[s - 1], s - 1
+            if (s >= 2 and s % 2 == 1
+                    and tokens[(s - 1) // 2] != tokens[(s - 3) // 2]
+                    and prev[s - 2] > best):
+                best, arg = prev[s - 2], s - 2
+            alpha[t, s] = best + lp[emit(s)]
+            back[t, s] = arg
+    end = S - 1 if alpha[T - 1, S - 1] >= alpha[T - 1, S - 2] else S - 2
+    score = float(alpha[T - 1, end])
+    labels = np.full((T,), -1, np.int32)
+    s = end
+    for t in range(T - 1, -1, -1):
+        labels[t] = -1 if s % 2 == 0 else (s - 1) // 2
+        s = back[t, s]
+    return labels, score
+
+
+def word_timings(labels: np.ndarray, tokens: Sequence[int],
+                 word_spans: Sequence[Tuple[int, int]],
+                 frame_seconds: float,
+                 words: Sequence[str]) -> List[Dict]:
+    """Frame labels -> gentle-style `words` entries with start/end seconds."""
+    first = np.full((len(tokens),), -1, np.int64)
+    last = np.full((len(tokens),), -1, np.int64)
+    for t, lab in enumerate(labels):
+        if lab >= 0:
+            if first[lab] < 0:
+                first[lab] = t
+            last[lab] = t
+    out = []
+    for (t0, t1), word in zip(word_spans, words):
+        tok_firsts = first[t0:t1]
+        tok_lasts = last[t0:t1]
+        ok = (tok_firsts >= 0).all()
+        entry = {"word": word, "alignedWord": word.lower(),
+                 "case": "success" if ok else "not-found-in-audio"}
+        if ok:
+            entry["start"] = float(tok_firsts.min() * frame_seconds)
+            entry["end"] = float((tok_lasts.max() + 1) * frame_seconds)
+            entry["phones"] = [
+                {"phone": CTC_CHARS[tokens[ti]].lower(),
+                 "duration": float((last[ti] - first[ti] + 1) * frame_seconds)}
+                for ti in range(t0, t1)]
+        out.append(entry)
+    return out
+
+
+def align_ctc(log_probs: np.ndarray, transcript: str,
+              frame_seconds: float) -> Dict:
+    """Align a transcript against CTC char log-probs -> gentle-style dict."""
+    tokens, word_spans = text_to_tokens(transcript)
+    words = [w for w in re.split(r"\s+", clean(transcript).upper().strip()) if w]
+    if not tokens:
+        return {"transcript": transcript, "words": []}
+    try:
+        labels, score = ctc_forced_align(log_probs, tokens)
+    except ValueError as e:
+        logging.warning("alignment failed: %s", e)
+        return {"transcript": transcript,
+                "words": [{"word": w, "case": "not-found-in-audio"}
+                          for w in words]}
+    entries = word_timings(labels, tokens, word_spans, frame_seconds, words)
+    return {"transcript": transcript, "words": entries,
+            "log_likelihood": score}
+
+
+def have_gentle() -> bool:
+    try:
+        import gentle  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def align(audiopath: str, transcript: str,
+          ctc_logits_fn: Optional[Callable] = None,
+          frame_seconds: float = 320.0 / 16000.0) -> Dict:
+    """Align one audio file; gentle backend when available, else CTC.
+
+    Parity: reference pig/forced_align.py:17-24.  `ctc_logits_fn` maps an
+    audio path to (T, 28) log-probs (e.g. a jit'd wav2vec2-CTC forward).
+    """
+    if have_gentle():
+        import gentle
+
+        resources = gentle.Resources()
+        with gentle.resampled(audiopath) as wavfile:
+            aligner = gentle.ForcedAligner(resources, transcript,
+                                           disfluency=False,
+                                           conservative=False)
+            return json.loads(aligner.transcribe(wavfile).to_json())
+    if ctc_logits_fn is None:
+        raise RuntimeError("no alignment backend: install gentle or pass "
+                           "ctc_logits_fn (a wav2vec2-CTC forward)")
+    return align_ctc(np.asarray(ctc_logits_fn(audiopath)), transcript,
+                     frame_seconds)
+
+
+def realign(fragment_type: str = "dialog", data_dir: str = "data",
+            ctc_logits_fn: Optional[Callable] = None,
+            splits: Sequence[str] = ("val",)) -> None:
+    """Re-align every subtitle line of the split's episodes.
+
+    Parity: reference pig/forced_align.py:30-67 — reads the episode
+    annotations, cuts each subtitle's audio (with 0.5 s margins), aligns, and
+    writes data/out/realign/{fragment}/ep_{N}/{part}/{sub}.json with speaker
+    and clip metadata.
+    """
+    import pandas as pd
+
+    from peppa_tpu.data import decode as D
+    from peppa_tpu.data.dataset import SPLIT_SPEC
+
+    names = dict(narration="narration", dialog="context")
+    listing = pd.read_csv(
+        os.path.join(data_dir, "in", "peppa_pig_dataset-video_list.csv"),
+        sep=";", quotechar="'", names=["id", "title", "path"], index_col=0)
+    titles = dict(zip(listing["title"],
+                      listing["path"].map(
+                          lambda x: os.path.join(data_dir, "in", "peppa",
+                                                 x[4:]))))
+    for split in splits:
+        episodes = SPLIT_SPEC[fragment_type][split]
+        if episodes is None:
+            continue
+        for epid in episodes:
+            ann_path = os.path.join(data_dir, "in", "peppa", "episodes",
+                                    f"ep_{epid}.json")
+            if fragment_type == "dialog":
+                speaker_path = os.path.join(data_dir, "out", "speaker_id",
+                                            f"ep_{epid}.yaml")
+                if os.path.exists(speaker_path):
+                    import yaml
+
+                    with open(speaker_path) as f:
+                        annotation = yaml.safe_load(f)
+                    ann_path = speaker_path
+                elif os.path.exists(ann_path):
+                    with open(ann_path) as f:
+                        annotation = json.load(f)
+                else:
+                    continue
+            else:
+                if not os.path.exists(ann_path):
+                    continue
+                with open(ann_path) as f:
+                    annotation = json.load(f)
+            episode_file = titles.get(annotation["title"])
+            if episode_file is None or not os.path.exists(episode_file):
+                logging.warning("missing episode media for %s",
+                                annotation["title"])
+                continue
+            for i, part in enumerate(annotation["narrator_splits"]):
+                subs = part[names[fragment_type]].get("subtitles", [])
+                for j, sub in enumerate(subs):
+                    transcript = clean(sub["text"])
+                    if not transcript:
+                        continue
+                    start = max(pd.Timedelta(sub["begin"]).total_seconds()
+                                - 0.5, 0.0)
+                    end = pd.Timedelta(sub["end"]).total_seconds() + 0.5
+                    outdir = os.path.join(data_dir, "out", "realign",
+                                          fragment_type, f"ep_{epid}", str(i))
+                    os.makedirs(outdir, exist_ok=True)
+                    wav = os.path.join(outdir, f"{j}.wav")
+                    _write_wav(wav, D.decode_audio(episode_file, start, end,
+                                                   16000), 16000)
+                    result = align(wav, transcript,
+                                   ctc_logits_fn=ctc_logits_fn)
+                    result["speaker"] = (sub.get("speaker")
+                                         if fragment_type == "dialog"
+                                         else "Narrator")
+                    result["episode_filepath"] = episode_file
+                    result["episode_metadata_path"] = ann_path
+                    result["episode_title"] = annotation["title"]
+                    result["clipStart"] = start
+                    result["clipEnd"] = end
+                    result["partIndex"] = i
+                    result["clipIndex"] = j
+                    with open(os.path.join(outdir, f"{j}.json"), "w") as f:
+                        json.dump(result, f, indent=2)
+
+
+def _write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    import wave
+
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
