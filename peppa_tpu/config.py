@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -221,6 +222,60 @@ def _asdict(obj) -> Dict[str, Any]:
 def default_config() -> Config:
     """The canonical base configuration — parity with pig/execution.py:4-42."""
     return Config()
+
+
+def dump_conditions(prefix: str = "hparams_") -> None:
+    """Write the seven ablation presets as YAML (reference execution.py:79-82)."""
+    for name, cfg in conditions().items():
+        cfg.dump(f"{prefix}{name}.yaml")
+
+
+def _comparable(cfg: Config) -> Dict[str, Any]:
+    d = cfg.to_dict()
+    d.pop("git_commit", None)
+    d.pop("tpu", None)
+    return d
+
+
+def match_conditions(log_dir: str = "lightning_logs",
+                     versions: Optional[Sequence[int]] = None
+                     ) -> Dict[str, List[int]]:
+    """Reverse-map logged runs to their ablation condition.
+
+    Parity: reference pig/execution.py:93-108 — compare each run's saved
+    hparams against the generated condition configs (ignoring run-specific
+    keys like git_commit).
+    """
+    import glob as _glob
+    import re as _re
+
+    configs = {name: _comparable(cfg) for name, cfg in conditions().items()}
+    if versions is None:
+        paths = _glob.glob(os.path.join(log_dir, "version_*", "hparams.yaml"))
+    else:
+        paths = [os.path.join(log_dir, f"version_{v}", "hparams.yaml")
+                 for v in versions]
+    runs: Dict[str, List[int]] = {name: [] for name in configs}
+    for path in paths:
+        m = _re.search(r"version_(\d+)", path)
+        if m is None or not os.path.exists(path):
+            continue
+        run_cfg = _comparable(Config.load(path))
+        for name, conf in configs.items():
+            if conf == run_cfg:
+                runs[name].append(int(m.group(1)))
+    return runs
+
+
+def save_conditions(log_dir: str = "lightning_logs",
+                    path: str = "conditions.yaml", keep: int = 4) -> None:
+    """conditions.yaml: condition -> first `keep` matching run IDs.
+
+    Parity: reference pig/execution.py:110-115.
+    """
+    runs = {k: sorted(v)[:keep] for k, v in match_conditions(log_dir).items()}
+    with open(path, "w") as f:
+        yaml.safe_dump(runs, f)
 
 
 def conditions(base: Optional[Config] = None) -> Dict[str, Config]:
