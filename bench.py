@@ -34,8 +34,7 @@ def main():
     from peppa_tpu.ops.metrics import recall_at_n
 
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    k_small = int(os.environ.get("BENCH_K_SMALL", "2"))
-    k_large = int(os.environ.get("BENCH_K_LARGE", "12"))
+    k_large = int(os.environ.get("BENCH_K", "8"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     cfg = default_config()
@@ -71,18 +70,30 @@ def main():
             lambda c, key: (c + one_batch(vs, key), None), 0.0, keys)
         return acc
 
+    @jax.jit
+    def trivial(seed):
+        return jnp.sum(jax.random.normal(jax.random.PRNGKey(seed), (8, 8)))
+
     def timed(seed, k):
         t0 = time.perf_counter()
         v = float(np.asarray(run_k(variables, seed, k)))  # fetch forces completion
         assert np.isfinite(v)
         return time.perf_counter() - t0
 
+    def timed_trivial(seed):
+        t0 = time.perf_counter()
+        float(np.asarray(trivial(seed)))
+        return time.perf_counter() - t0
+
     # compile both programs (uncounted)
-    timed(0, k_small)
+    timed_trivial(0)
     timed(0, k_large)
 
+    # fixed dispatch/fetch overhead (tunnel round trip), measured on a
+    # trivial program and subtracted from the k-batch run
+    overhead = min(timed_trivial(1 + r) for r in range(max(repeats, 5)))
     per_batch = min(
-        (timed(1 + r, k_large) - timed(101 + r, k_small)) / (k_large - k_small)
+        max(timed(1 + r, k_large) - overhead, 1e-9) / k_large
         for r in range(repeats))
     pairs_per_s = batch_size / per_batch
     n_chips = max(len(jax.devices()), 1)
