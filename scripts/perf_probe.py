@@ -1,0 +1,170 @@
+"""Slope-method micro-benchmarks for submodule variants on the real chip.
+
+Usage: python scripts/perf_probe.py video|audio|full
+Measures (t(scan K) - t(trivial)) / K so the tunnel's fixed per-dispatch
+overhead cancels; inputs are generated on device per scan iteration.
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 32
+K = 8
+
+
+def slope_time(fn, params, n_rep=2):
+    """fn(params, key) -> scalar. Returns seconds per call, overhead-free."""
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(p, seed, k):
+        keys = jax.random.split(jax.random.PRNGKey(seed), k)
+        acc, _ = jax.lax.scan(lambda c, key: (c + fn(p, key), None), 0.0, keys)
+        return acc
+
+    @jax.jit
+    def trivial(seed):
+        return jnp.sum(jax.random.normal(jax.random.PRNGKey(seed), (8, 8)))
+
+    def timed(seed, k):
+        t0 = time.perf_counter()
+        assert np.isfinite(float(np.asarray(run_k(params, seed, k))))
+        return time.perf_counter() - t0
+
+    def timed_trivial(seed):
+        t0 = time.perf_counter()
+        float(np.asarray(trivial(seed)))
+        return time.perf_counter() - t0
+
+    timed_trivial(0)
+    timed(0, K)
+    overhead = min(timed_trivial(i) for i in range(1, 6))
+    return min(max(timed(1 + r, K) - overhead, 1e-9) / K
+               for r in range(n_rep))
+
+
+def probe_video():
+    import flax.linen as nn
+
+    from peppa_tpu.models.video3d import VideoResNetTrunk
+
+    frames, h, w = 23, 100, 180
+
+    class AffineBNTrunk(nn.Module):
+        """Variant: BatchNorm as bf16 elementwise affine (eval fusion)."""
+
+        @nn.compact
+        def __call__(self, x):
+            trunk = VideoResNetTrunk("r2plus1d_18", jnp.bfloat16, name="t")
+            return trunk(x, train=False)
+
+    variants = {}
+
+    for name, dtype_bn in (("bn_f32(current)", jnp.float32),
+                           ("bn_bf16", jnp.bfloat16)):
+        import peppa_tpu.models.video3d as v3d
+
+        class Patched(nn.Module):
+            bn_dtype: jnp.dtype = dtype_bn
+
+            @nn.compact
+            def __call__(self, x):
+                orig = v3d.BatchNorm.__call__
+
+                def patched_call(self2, xx, use_running_average):
+                    return nn.BatchNorm(
+                        use_running_average=use_running_average,
+                        momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
+                        name="bn")(xx)
+
+                v3d.BatchNorm.__call__ = patched_call
+                try:
+                    out = v3d.VideoResNetTrunk("r2plus1d_18", jnp.bfloat16,
+                                               name="trunk")(x, train=False)
+                finally:
+                    v3d.BatchNorm.__call__ = orig
+                return out
+
+        mod = Patched()
+        x0 = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+        params = jax.jit(mod.init)(jax.random.PRNGKey(0), x0)
+
+        def fn(p, key, mod=mod):
+            x = jax.random.uniform(key, (B, frames, h, w, 3), jnp.float32)
+            return jnp.sum(mod.apply(p, x).astype(jnp.float32))
+
+        dt = slope_time(fn, params)
+        print(f"video {name}: {dt*1000:.1f} ms/batch", flush=True)
+        variants[name] = dt
+    return variants
+
+
+def probe_audio():
+    import flax.linen as nn
+
+    from peppa_tpu.models.wav2vec2 import CONV_LAYERS, gelu
+
+    S = 101430
+
+    class Current(nn.Module):
+        @nn.compact
+        def __call__(self, w):
+            x = w[..., None].astype(jnp.bfloat16)
+            for i, (ch, k, s) in enumerate(CONV_LAYERS):
+                x = nn.Conv(ch, (k,), strides=(s,), padding="VALID",
+                            use_bias=False, dtype=jnp.bfloat16,
+                            name=f"conv{i}")(x)
+                if i == 0:
+                    x = nn.GroupNorm(num_groups=ch, epsilon=1e-5,
+                                     dtype=jnp.float32, name="gn")(x)
+                x = gelu(x)
+            return x
+
+    class FramedMatmul(nn.Module):
+        """conv1 as a framed matmul; convs 2+ as im2col matmuls."""
+
+        @nn.compact
+        def __call__(self, w):
+            b = w.shape[0]
+            x = w.astype(jnp.bfloat16)
+            # layer 0: k=10, s=5 -> frames of 10 from blocks of 5
+            n5 = x.shape[1] // 5
+            x5 = x[:, :n5 * 5].reshape(b, n5, 5)
+            f10 = jnp.concatenate([x5[:, :-1], x5[:, 1:]], axis=-1)  # (B,n5-1,10)
+            w0 = self.param("w0", nn.initializers.lecun_normal(), (10, 512))
+            x = f10 @ w0.astype(jnp.bfloat16)
+            x = nn.GroupNorm(num_groups=512, epsilon=1e-5, dtype=jnp.float32,
+                             name="gn")(x)
+            x = gelu(x).astype(jnp.bfloat16)
+            for i, (ch, k, s) in enumerate(CONV_LAYERS[1:], 1):
+                t_out = (x.shape[1] - k) // s + 1
+                idx = jnp.arange(t_out)[:, None] * s + jnp.arange(k)[None, :]
+                patches = x[:, idx, :].reshape(b, t_out, k * x.shape[-1])
+                wi = self.param(f"w{i}", nn.initializers.lecun_normal(),
+                                (k * 512, ch))
+                x = gelu(patches @ wi.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+            return x
+
+    for name, mod in (("conv(current)", Current()),
+                      ("framed_matmul", FramedMatmul())):
+        params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 3200)))
+
+        def fn(p, key, mod=mod):
+            a = jax.random.normal(key, (B, S), jnp.float32) * 0.1
+            return jnp.sum(mod.apply(p, a).astype(jnp.float32))
+
+        dt = slope_time(fn, params)
+        print(f"audio {name}: {dt*1000:.1f} ms/batch", flush=True)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "video"
+    if what == "video":
+        probe_video()
+    elif what == "audio":
+        probe_audio()
