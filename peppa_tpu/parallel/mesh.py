@@ -32,9 +32,11 @@ def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
     n = len(devices)
     if mesh_shape is None:
         mesh_shape = (n,) + (1,) * (len(axes) - 1)
-    if int(np.prod(mesh_shape)) != n:
-        raise ValueError(f"mesh_shape {mesh_shape} != {n} devices")
-    dev_array = np.asarray(devices).reshape(mesh_shape)
+    need = int(np.prod(mesh_shape))
+    if need > n:
+        raise ValueError(f"mesh_shape {mesh_shape} needs {need} devices, "
+                         f"have {n}")
+    dev_array = np.asarray(devices[:need]).reshape(mesh_shape)
     return Mesh(dev_array, tuple(axes))
 
 

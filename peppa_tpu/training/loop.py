@@ -34,6 +34,7 @@ from peppa_tpu.training.optimization import make_optimizer
 from peppa_tpu.training.state import TrainState, param_count
 from peppa_tpu.training.step import make_eval_step, make_train_step
 from peppa_tpu.evaluation.validation import run_validation
+from peppa_tpu.utils.profiling import StepTimer
 
 
 def parse_max_time(value: Optional[str]) -> Optional[float]:
@@ -105,6 +106,9 @@ class Trainer:
         micro_step = 0
         epoch = 0
         done = False
+        timer = StepTimer(warmup_steps=2)
+        profile_dir = os.environ.get("PEPPA_PROFILE_DIR")  # jax.profiler trace
+        profile_steps = int(os.environ.get("PEPPA_PROFILE_STEPS", "0"))
 
         while not done:
             if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
@@ -117,15 +121,25 @@ class Trainer:
                             n_batches >= tcfg.limit_train_batches:
                         break
                     batch = shard_fn(batch)
+                    if profile_dir and micro_step == profile_steps:
+                        jax.profiler.start_trace(profile_dir)
                     state, metrics = train_step(state, batch, step_rng)
                     micro_step += 1
                     n_batches += 1
+                    timer.step(items=int(np.shape(batch.audio)[0]))
+                    if profile_dir and profile_steps and \
+                            micro_step == 2 * profile_steps:
+                        jax.block_until_ready(metrics["train_loss"])
+                        jax.profiler.stop_trace()
+                        profile_dir = None
                     if micro_step % tcfg.log_every_n_steps == 0:
                         loss = float(metrics["train_loss"])
-                        self.logger.log({"train_loss": loss}, step=micro_step,
-                                        epoch=epoch)
-                        logging.info("epoch %d step %d loss %.4f",
-                                     epoch, micro_step, loss)
+                        self.logger.log({"train_loss": loss,
+                                         **timer.metrics()},
+                                        step=micro_step, epoch=epoch)
+                        logging.info("epoch %d step %d loss %.4f "
+                                     "(%.1f clips/s)", epoch, micro_step,
+                                     loss, timer.items_per_sec)
                     opt_steps = micro_step // accum
                     if max_opt_steps is not None and opt_steps >= max_opt_steps:
                         done = True

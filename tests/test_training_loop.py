@@ -1,0 +1,82 @@
+"""End-to-end training-loop smoke test: tiny model, synthetic data, CPU mesh.
+
+Exercises the full Trainer path — init, sanity validation, bucketed batching,
+jit'd train step with grad accumulation, the 4-loader validation protocol,
+dual checkpoint monitors + last.ckpt, metrics logging — and then best-model
+loading + checkpoint resume.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from peppa_tpu.config import Config
+
+
+def tiny_config(tmp_path):
+    cfg = Config()
+    cfg.data.target_size = (32, 32)
+    cfg.data.audio_sample_rate = 1600
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.data.train.batch_size = 4
+    cfg.data.val.batch_size = 4
+    cfg.data.train.duration = 0.8
+    cfg.data.val.duration = 0.8
+    cfg.training.precision = "fp32"
+    cfg.training.accumulate_grad_batches = 2
+    cfg.training.max_epochs = 2
+    cfg.training.num_sanity_val_steps = 1
+    cfg.training.limit_train_batches = 3
+    cfg.training.limit_val_batches = 2
+    cfg.training.log_every_n_steps = 1
+    cfg.optimizer.t_total = 100
+    cfg.tpu.bucket_durations = (0.8, 2.0)
+    cfg.tpu.donate_state = False
+    cfg.tpu.mesh_shape = (1, 1)  # batch 4 won't shard over 8 CPU devices
+    cfg.audio.full = False  # conv-only trunk: much faster on CPU
+    cfg.video.version = "r3d_18"
+    return cfg
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path):
+    from peppa_tpu.data.datamodule import SyntheticPigData
+    from peppa_tpu.training.checkpoint import load_best_model, load_checkpoint
+    from peppa_tpu.training.loop import Trainer
+
+    cfg = tiny_config(tmp_path)
+    data = SyntheticPigData(cfg, n_train=12, n_val=8)
+    log_dir = str(tmp_path / "logs")
+    trainer = Trainer(cfg, log_dir=log_dir)
+    state = trainer.fit(data)
+    assert int(np.asarray(state.step)) > 0
+
+    version_dir = trainer.version_dir
+    assert os.path.exists(os.path.join(version_dir, "hparams.yaml"))
+    assert os.path.exists(os.path.join(version_dir, "metrics.csv"))
+    ckpts = os.listdir(os.path.join(version_dir, "checkpoints"))
+    assert "last.ckpt" in ckpts
+    assert any(c.startswith("epoch=") for c in ckpts)
+
+    # best-model loading (evaluation entry)
+    model, variables, config2, path = load_best_model(version_dir)
+    assert "params" in variables
+    # loaded config round-trips the training config
+    assert config2.data.target_size == cfg.data.target_size
+
+    # resume: restore last.ckpt into a fresh state
+    import jax
+
+    from peppa_tpu.models.dual_encoder import init_model
+    from peppa_tpu.training.optimization import make_optimizer
+    from peppa_tpu.training.state import TrainState
+
+    model2, variables2 = init_model(cfg, jax.random.PRNGKey(1))
+    tx = make_optimizer(cfg.optimizer, accumulate_grad_batches=2,
+                        params=variables2["params"])
+    fresh = TrainState.create(variables2, tx)
+    restored, meta = load_checkpoint(
+        os.path.join(version_dir, "checkpoints", "last.ckpt"), fresh)
+    assert int(np.asarray(restored.step)) == int(np.asarray(state.step))
+    assert "metrics" in meta
