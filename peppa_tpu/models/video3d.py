@@ -35,13 +35,19 @@ def _conv(x, features: int, kernel: Tuple[int, int, int],
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm3d parity: eps 1e-5, running-stat momentum 0.1 (torch)."""
+    """BatchNorm3d parity: eps 1e-5, running-stat momentum 0.1 (torch).
+
+    `dtype` is the computation dtype: float32 by default; bf16 lets XLA fuse
+    the normalization into the surrounding conv/relu without f32 round trips
+    (batch statistics still accumulate acceptably at these batch sizes, and
+    eval uses running stats where the affine is exactly representable).
+    """
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
         return nn.BatchNorm(use_running_average=use_running_average,
-                            momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                            momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                             name="bn")(x)
 
 
@@ -61,6 +67,7 @@ class Conv2Plus1D(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
+    bn_dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def downsample_stride(s: int):
@@ -71,7 +78,8 @@ class Conv2Plus1D(nn.Module):
         mid = self.mid_features or midplanes(self.in_features, self.features)
         s = self.stride
         x = _conv(x, mid, (1, 3, 3), (1, s, s), self.dtype, "spatial")
-        x = BatchNorm(name="bn_mid")(x, use_running_average=not train)
+        x = BatchNorm(self.bn_dtype, name="bn_mid")(x,
+                                                    use_running_average=not train)
         x = nn.relu(x)
         x = _conv(x, self.features, (3, 1, 1), (s, 1, 1), self.dtype, "temporal")
         return x
@@ -84,6 +92,7 @@ class Conv3DSimple(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
+    bn_dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def downsample_stride(s: int):
@@ -102,6 +111,7 @@ class Conv3DNoTemporal(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
+    bn_dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def downsample_stride(s: int):
@@ -126,6 +136,7 @@ class BasicBlock(nn.Module):
     conv_maker: type
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -134,18 +145,22 @@ class BasicBlock(nn.Module):
         # it for both convs; reproduce for weight-shape parity.
         mid = midplanes(self.in_features, self.features)
         out = self.conv_maker(self.features, self.in_features, self.stride,
-                              self.dtype, mid, name="conv1")(x, train)
-        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+                              self.dtype, mid, self.bn_dtype,
+                              name="conv1")(x, train)
+        out = BatchNorm(self.bn_dtype, name="bn1")(out,
+                                                   use_running_average=not train)
         out = nn.relu(out)
         out = self.conv_maker(self.features, self.features, 1,
-                              self.dtype, mid, name="conv2")(out, train)
-        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+                              self.dtype, mid, self.bn_dtype,
+                              name="conv2")(out, train)
+        out = BatchNorm(self.bn_dtype, name="bn2")(out,
+                                                   use_running_average=not train)
         if self.stride != 1 or self.in_features != self.features:
             ds = self.conv_maker.downsample_stride(self.stride)
             identity = _conv(x, self.features, (1, 1, 1), ds,
                              self.dtype, "downsample")
-            identity = BatchNorm(name="bn_down")(identity,
-                                                 use_running_average=not train)
+            identity = BatchNorm(self.bn_dtype, name="bn_down")(
+                identity, use_running_average=not train)
         return nn.relu(out + identity)
 
 
@@ -153,20 +168,22 @@ class VideoResNetTrunk(nn.Module):
     """Stem + layers1-4 of the VideoResNet family; input (B, T, H, W, 3)."""
     version: str = "r2plus1d_18"
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         makers = CONV_MAKERS[self.version]
+        bn = lambda name: BatchNorm(self.bn_dtype, name=name)
         if self.version == "r2plus1d_18":
             x = _conv(x, 45, (1, 7, 7), (1, 2, 2), self.dtype, "stem_spatial")
-            x = BatchNorm(name="stem_bn1")(x, use_running_average=not train)
+            x = bn("stem_bn1")(x, use_running_average=not train)
             x = nn.relu(x)
             x = _conv(x, 64, (3, 1, 1), (1, 1, 1), self.dtype, "stem_temporal")
-            x = BatchNorm(name="stem_bn2")(x, use_running_average=not train)
+            x = bn("stem_bn2")(x, use_running_average=not train)
             x = nn.relu(x)
         else:
             x = _conv(x, 64, (3, 7, 7), (1, 2, 2), self.dtype, "stem")
-            x = BatchNorm(name="stem_bn")(x, use_running_average=not train)
+            x = bn("stem_bn")(x, use_running_average=not train)
             x = nn.relu(x)
 
         widths = (64, 128, 256, 512)
@@ -176,6 +193,7 @@ class VideoResNetTrunk(nn.Module):
             for bi in range(2):
                 x = BasicBlock(width, in_features, maker,
                                stride if bi == 0 else 1, self.dtype,
+                               self.bn_dtype,
                                name=f"layer{li}_block{bi}")(x, train)
                 in_features = width
         return x  # (B, T', H', W', 512)
@@ -194,6 +212,7 @@ class R3DEncoder(nn.Module):
     mean: Tuple[float, float, float] = (0.43216, 0.394666, 0.37645)
     std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989)
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, video: jnp.ndarray,
@@ -207,8 +226,8 @@ class R3DEncoder(nn.Module):
         mean = jnp.asarray(self.mean, dtype=video.dtype)
         std = jnp.asarray(self.std, dtype=video.dtype)
         x = (video - mean) / std
-        x = VideoResNetTrunk(self.version, self.dtype, name="trunk")(
-            x.astype(self.dtype), train)
+        x = VideoResNetTrunk(self.version, self.dtype, self.bn_dtype,
+                             name="trunk")(x.astype(self.dtype), train)
         if tap == "features":
             return x
         # frame lengths survive the trunk's temporal stride (T/8 for layers 2-4)

@@ -48,48 +48,15 @@ def slope_time(fn, params, n_rep=2):
 
 
 def probe_video():
+    import jax
     import flax.linen as nn
 
     from peppa_tpu.models.video3d import VideoResNetTrunk
 
     frames, h, w = 23, 100, 180
-
-    class AffineBNTrunk(nn.Module):
-        """Variant: BatchNorm as bf16 elementwise affine (eval fusion)."""
-
-        @nn.compact
-        def __call__(self, x):
-            trunk = VideoResNetTrunk("r2plus1d_18", jnp.bfloat16, name="t")
-            return trunk(x, train=False)
-
-    variants = {}
-
-    for name, dtype_bn in (("bn_f32(current)", jnp.float32),
+    for name, bn_dtype in (("bn_f32(current)", jnp.float32),
                            ("bn_bf16", jnp.bfloat16)):
-        import peppa_tpu.models.video3d as v3d
-
-        class Patched(nn.Module):
-            bn_dtype: jnp.dtype = dtype_bn
-
-            @nn.compact
-            def __call__(self, x):
-                orig = v3d.BatchNorm.__call__
-
-                def patched_call(self2, xx, use_running_average):
-                    return nn.BatchNorm(
-                        use_running_average=use_running_average,
-                        momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
-                        name="bn")(xx)
-
-                v3d.BatchNorm.__call__ = patched_call
-                try:
-                    out = v3d.VideoResNetTrunk("r2plus1d_18", jnp.bfloat16,
-                                               name="trunk")(x, train=False)
-                finally:
-                    v3d.BatchNorm.__call__ = orig
-                return out
-
-        mod = Patched()
+        mod = VideoResNetTrunk("r2plus1d_18", jnp.bfloat16, bn_dtype)
         x0 = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
         params = jax.jit(mod.init)(jax.random.PRNGKey(0), x0)
 
@@ -99,8 +66,6 @@ def probe_video():
 
         dt = slope_time(fn, params)
         print(f"video {name}: {dt*1000:.1f} ms/batch", flush=True)
-        variants[name] = dt
-    return variants
 
 
 def probe_audio():
