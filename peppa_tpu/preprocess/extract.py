@@ -58,13 +58,17 @@ def extract_from_episode(annotation: dict, video_path: str,
                          target_size: Tuple[int, int],
                          data_dir: str = "data") -> None:
     """Cut one episode's dialog/narration spans (reference preprocess.py:25-57)."""
+    import pandas as pd
+
     width, height = target_size
+    to_s = lambda v: float(pd.Timedelta(v).total_seconds())
     spans = {"dialog": [], "narration": []}
     for segment in annotation["narrator_splits"]:
         for kind, key in (("dialog", "context"), ("narration", "narration")):
             tokenized = segment[key]["tokenized"]
             if tokenized:
-                spans[kind].append((tokenized[0]["begin"], tokenized[-1]["end"],
+                spans[kind].append((to_s(tokenized[0]["begin"]),
+                                    to_s(tokenized[-1]["end"]),
                                     segment[key]))
     for kind, items in spans.items():
         outdir = os.path.join(data_dir, "out", f"{width}x{height}", kind,

@@ -68,6 +68,86 @@ def probe_video():
         print(f"video {name}: {dt*1000:.1f} ms/batch", flush=True)
 
 
+def probe_video_decomposed():
+    """R(2+1)D expressed as conv2d over folded frames + conv1d over time."""
+    import flax.linen as nn
+
+    from peppa_tpu.models.video3d import midplanes
+
+    frames, h, w = 23, 100, 180
+
+    class Trunk2D(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # (B, T, H, W, C)
+            dt = jnp.bfloat16
+
+            def spatial(x, ch, k, s, name):
+                b, t, hh, ww, c = x.shape
+                y = x.reshape(b * t, hh, ww, c)
+                y = nn.Conv(ch, (k, k), strides=(s, s),
+                            padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                            dtype=dt, name=name)(y)
+                return y.reshape(b, t, y.shape[1], y.shape[2], ch)
+
+            def temporal(x, ch, k, s, name):
+                b, t, hh, ww, c = x.shape
+                y = x.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, c)
+                y = nn.Conv(ch, (k,), strides=(s,),
+                            padding=[(k // 2, k // 2)], use_bias=False,
+                            dtype=dt, name=name)(y)
+                t2 = y.shape[1]
+                return y.reshape(b, hh, ww, t2, ch).transpose(0, 3, 1, 2, 4)
+
+            def bn_relu(x, name):
+                x = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 name=name)(x)
+                return nn.relu(x)
+
+            x = x.astype(dt)
+            x = bn_relu(spatial(x, 45, 7, 2, "stem_s"), "stem_bn1")
+            x = bn_relu(temporal(x, 64, 3, 1, "stem_t"), "stem_bn2")
+            widths = (64, 128, 256, 512)
+            strides = (1, 2, 2, 2)
+            c_in = 64
+            for li, (width, s) in enumerate(zip(widths, strides), 1):
+                for bi in range(2):
+                    st = s if bi == 0 else 1
+                    mid = midplanes(c_in, width)
+                    idn = x
+                    y = bn_relu(spatial(x, mid, 3, st, f"l{li}b{bi}c1s"),
+                                f"l{li}b{bi}bnm1")
+                    y = temporal(y, width, 3, st, f"l{li}b{bi}c1t")
+                    y = bn_relu(y, f"l{li}b{bi}bn1")
+                    y = bn_relu(spatial(y, mid, 3, 1, f"l{li}b{bi}c2s"),
+                                f"l{li}b{bi}bnm2")
+                    y = temporal(y, width, 3, 1, f"l{li}b{bi}c2t")
+                    y = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                     epsilon=1e-5, dtype=jnp.float32,
+                                     name=f"l{li}b{bi}bn2")(y)
+                    if st != 1 or c_in != width:
+                        idn = spatial(idn, width, 1, st, f"l{li}b{bi}ds")
+                        idn = temporal(idn, width, 1, st, f"l{li}b{bi}dst")
+                        idn = nn.BatchNorm(use_running_average=True,
+                                           momentum=0.9, epsilon=1e-5,
+                                           dtype=jnp.float32,
+                                           name=f"l{li}b{bi}bnd")(idn)
+                    x = nn.relu(y + idn)
+                    c_in = width
+            return x
+
+    mod = Trunk2D()
+    x0 = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), x0)
+
+    def fn(p, key):
+        x = jax.random.uniform(key, (B, frames, h, w, 3), jnp.float32)
+        return jnp.sum(mod.apply(p, x).astype(jnp.float32))
+
+    dt = slope_time(fn, params)
+    print(f"video decomposed-2d1d: {dt*1000:.1f} ms/batch", flush=True)
+
+
 def probe_audio():
     import flax.linen as nn
 
@@ -131,5 +211,7 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "video"
     if what == "video":
         probe_video()
+    elif what == "video2d":
+        probe_video_decomposed()
     elif what == "audio":
         probe_audio()
