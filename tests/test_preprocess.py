@@ -94,7 +94,8 @@ def test_extract_from_episode(tmp_path, rng):
     clip = D.load_clip_npz(dialog)
     # 3 s span at 10 fps -> ~30 frames
     assert 25 <= clip.video.shape[0] <= 31
-    assert clip.audio.shape[0] == pytest.approx(3 * sr, abs=sr // 10)
+    # extraction resamples audio to the 44.1 kHz master rate
+    assert clip.audio.shape[0] == pytest.approx(3 * 44100, abs=4410)
     # sidecar metadata json written
     assert os.path.exists(os.path.join(data_dir, "out", "60x40", "dialog",
                                        "7", "0.json"))
