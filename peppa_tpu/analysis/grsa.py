@@ -410,6 +410,166 @@ def pairwise(version, fragment_type: str = "dialog", multiword: bool = False,
                     sim_1=float(sim_1[i, j]), sim_2=float(sim_2[i, j]))
 
 
+def embed_utterances(version, fragment_type: str = "dialog",
+                     grouped: bool = True, embedder: str = "auto",
+                     projection: bool = False,
+                     log_dir: str = "lightning_logs", data_dir: str = "data",
+                     batch_size: int = 32) -> List[Utt]:
+    """Multiword utterances with trained / random-avg / text embeddings.
+
+    Parity: reference pig/grsa.py:167-203 (embed_utterances): embedding_2 =
+    trained model; embedding_1 = random init with pooling='average' and the
+    given projection flag; embedding_t = text embedder.
+    """
+    import copy
+
+    import jax
+
+    from peppa_tpu.data.audio import (audioarray_loader,
+                                      grouped_audioarray_loader)
+    from peppa_tpu.models.dual_encoder import PeppaPig, init_model
+    from peppa_tpu.training.checkpoint import load_best_model
+
+    audio_paths, anno_paths = realign_paths(fragment_type, data_dir)
+    data = UttData(audio_paths, anno_paths, multiword=True)
+
+    model, variables, config, _ = load_best_model(
+        checkpoint_path(version, log_dir))
+    cfg_1 = copy.deepcopy(config)
+    cfg_1.audio.pooling = "average"
+    cfg_1.audio.project = projection
+    model_1 = PeppaPig(cfg_1)
+    _, vars_1 = init_model(cfg_1, jax.random.PRNGKey(1))
+
+    @functools.partial(jax.jit, static_argnames=("which",))
+    def encode(vs, audio, which="main"):
+        m = model_1 if which == "avg" else model
+        return m.apply(vs, audio, method=m.encode_audio)
+
+    waveforms = [u.audio for u in data.utterances(read_audio=True)]
+    loader = grouped_audioarray_loader if grouped else audioarray_loader
+    emb_1 = np.concatenate([np.asarray(encode(vars_1, b, which="avg"))
+                            for b in loader(waveforms, batch_size=batch_size)])
+    emb_2 = np.concatenate([np.asarray(encode(variables, b))
+                            for b in loader(waveforms, batch_size=batch_size)])
+    embed = make_text_embedder(embedder, data_dir)
+    utts = list(data.utterances(read_audio=False, embed=embed))
+    for i, utt in enumerate(utts):
+        utt.embedding_1 = emb_1[i]
+        utt.embedding_2 = emb_2[i]
+    return utts
+
+
+def unpairwise_data(utts: Sequence[Utt], seed: Optional[int] = None
+                    ) -> Iterator[Dict]:
+    """Random disjoint pair records (reference pig/grsa.py:292-321)."""
+    utts = list(utts)
+    random.Random(seed).shuffle(utts)
+    cos = lambda a, b: float(np.dot(a, b) /
+                             max(np.linalg.norm(a) * np.linalg.norm(b), 1e-6))
+    for i in range(0, len(utts) - 1, 2):
+        u1, u2 = utts[i], utts[i + 1]
+        yield dict(
+            spelling1=u1.spelling, duration1=u1.duration, speaker1=u1.speaker,
+            episode1=u1.episode,
+            spelling2=u2.spelling, duration2=u2.duration, speaker2=u2.speaker,
+            episode2=u2.episode,
+            sametype=u1.spelling == u2.spelling,
+            samespeaker=(None if u1.speaker is None or u2.speaker is None
+                         else u1.speaker == u2.speaker),
+            sameepisode=u1.episode == u2.episode,
+            durationdiff=abs(u1.duration - u2.duration),
+            durationsum=u1.duration + u2.duration,
+            distance=normalized_distance(u1.spelling, u2.spelling),
+            semsim=cos(u1.embedding_t, u2.embedding_t),
+            sim_1=cos(u1.embedding_1, u2.embedding_1),
+            sim_2=cos(u1.embedding_2, u2.embedding_2))
+
+
+def unpairwise(version, grouped: bool = True, embedder: str = "auto",
+               n_samples: int = 100, log_dir: str = "lightning_logs",
+               data_dir: str = "data", results_dir: str = "results") -> None:
+    """Resampled unpairwise OLS + boxplots (reference pig/grsa.py:274-290)."""
+    import pandas as pd
+
+    from peppa_tpu.analysis.stats import unpairwise_ols
+
+    dialog = embed_utterances(version, "dialog", grouped=grouped,
+                              embedder=embedder, projection=True,
+                              log_dir=log_dir, data_dir=data_dir)
+    narration = embed_utterances(version, "narration", grouped=grouped,
+                                 embedder=embedder, projection=True,
+                                 log_dir=log_dir, data_dir=data_dir)
+    utts = [u for u in dialog + narration if u.speaker is not None]
+    results = []
+    for n in range(n_samples):
+        df = pd.DataFrame.from_records(unpairwise_data(utts, seed=n))
+        result = unpairwise_ols(df)
+        result["sample"] = n
+        results.append(result)
+    table = pd.concat(results)
+    os.makedirs(results_dir, exist_ok=True)
+    table.to_csv(os.path.join(results_dir, "unpairwise_coef.csv"),
+                 index=False, header=True)
+    # boxplots of coefficient distributions per variable
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    variables = [v for v in table["Variable"].unique() if v != "Intercept"]
+    for di, dep in enumerate(("sim_1", "sim_2")):
+        sub = table[table["Dependent Var."] == dep]
+        vals = [sub[sub["Variable"] == v]["Value"].to_numpy()
+                for v in variables]
+        pos = np.arange(len(variables)) + (di - 0.5) * 0.3
+        bp = ax.boxplot(vals, positions=pos, vert=False, widths=0.25,
+                        showfliers=False, patch_artist=True)
+        for box in bp["boxes"]:
+            box.set_facecolor(f"C{di}")
+    ax.set_yticks(range(len(variables)))
+    ax.set_yticklabels(variables)
+    ax.axvline(0, color="gray", linestyle="--")
+    fig.tight_layout()
+    fig.savefig(os.path.join(results_dir, "unpairwise_boxplots.pdf"))
+    plt.close(fig)
+
+
+def word_type(embedder: Embedder, results_dir: str = "results"):
+    """Type-level RSA: mean token embedding vs text embedding similarity.
+
+    Parity: reference pig/grsa.py:324-348 (word_type) — per fragment type,
+    average each word type's token embeddings, correlate the type-by-type
+    cosine matrix against the text-side one.
+    """
+    import pandas as pd
+
+    from peppa_tpu.ops.similarity import cosine_matrix
+
+    embed = make_text_embedder("auto")
+    rows = []
+    for fragment_type in ("dialog", "narration"):
+        spellings = embedder.spelling[fragment_type]
+        trained = embedder.embedding[fragment_type]["trained"]
+        by_type: Dict[str, List[np.ndarray]] = {}
+        for sp, emb in zip(spellings, trained):
+            by_type.setdefault(sp.lower(), []).append(emb)
+        types = sorted(by_type)
+        emb_mat = np.stack([np.mean(by_type[t], axis=0) for t in types])
+        txt_mat = np.stack([np.asarray(embed(t)) for t in types])
+        sim_emb = triu(np.asarray(cosine_matrix(emb_mat, emb_mat)))
+        sim_txt = triu(np.asarray(cosine_matrix(txt_mat, txt_mat)))
+        rows.append(dict(fragment_type=fragment_type,
+                         pearson_r=pearson_r(sim_emb, sim_txt),
+                         N=len(types)))
+    df = pd.DataFrame.from_records(rows)
+    os.makedirs(results_dir, exist_ok=True)
+    df.to_csv(os.path.join(results_dir, "word_type_rsa.csv"),
+              index=False, header=True)
+    return df
+
+
 def rer(hi_acc: float, low_acc: float) -> float:
     return ((1 - low_acc) - (1 - hi_acc)) / (1 - low_acc)
 

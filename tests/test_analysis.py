@@ -154,3 +154,20 @@ def test_plot_coef_smoke(tmp_path, rng):
         version=[0, 0, 0, 1, 1, 1]))
     plot_coef(table, "dialog", False, results_dir=str(tmp_path))
     assert os.path.exists(tmp_path / "grsa_dialog_word_coef.pdf")
+
+
+def test_unpairwise_data_records(rng):
+    from peppa_tpu.analysis.grsa import Utt, unpairwise_data
+
+    utts = [Utt(spelling=f"word{i % 3}", duration=float(rng.uniform(0.1, 2)),
+                speaker=f"spk{i % 2}", episode=i % 4,
+                embedding_1=rng.normal(size=8).astype(np.float32),
+                embedding_2=rng.normal(size=8).astype(np.float32),
+                embedding_t=rng.normal(size=8).astype(np.float32))
+            for i in range(10)]
+    records = list(unpairwise_data(utts, seed=0))
+    assert len(records) == 5
+    r = records[0]
+    assert {"sametype", "samespeaker", "sameepisode", "durationdiff",
+            "durationsum", "distance", "semsim", "sim_1", "sim_2"} <= set(r)
+    assert -1.001 <= r["sim_2"] <= 1.001
