@@ -355,3 +355,46 @@ def duration_effect(log_dir: str = "lightning_logs",
         result["model_ids"] = model_ids
         out.append(result)
     _torch_save(out, os.path.join(results_dir, "duration_effect.pt"))
+
+
+def duration_effect_scramble(log_dir: str = "lightning_logs",
+                             results_dir: str = "results") -> None:
+    """Scrambled-vs-intact paired triplet comparison on the base runs.
+
+    Parity: reference pig/evaluation.py:317-337 — each base model is scored
+    on the same triplet samples with intact and frame-scrambled video.
+    """
+    from peppa_tpu.training.checkpoint import load_best_model
+
+    with open("conditions.yaml") as f:
+        conditions = yaml.safe_load(f)
+    model_ids = conditions["base"]
+    encoded = []
+    for model_id in model_ids:
+        logging.info("Loading version %s", model_id)
+        model, variables, config, _ = load_best_model(
+            os.path.join(log_dir, f"version_{model_id}"))
+        encoded.append((model, variables, config))
+    scrambled_flags = [False] * len(encoded) + [True] * len(encoded)
+    out = []
+    for fragment_type in ("dialog", "narration"):
+        videos, audios, durs = [], [], None
+        for scrambled in (False, True):
+            for model, variables, config in encoded:
+                scorer = TripletScorer(
+                    fragment_type=fragment_type, split=["val"],
+                    target_size=config.data.target_size,
+                    audio_sample_rate=config.data.audio_sample_rate,
+                    scrambled_video=scrambled,
+                    data_dir=config.data.data_dir)
+                scorer._encode(make_predict(model, variables), BATCH_SIZE)
+                videos.append(scorer._video)
+                audios.append(scorer._audio)
+                durs = scorer._duration
+        result = comparative_score_triplets(videos, audios, durs,
+                                            n_samples=500, seed=EVAL_SEED)
+        result["fragment_type"] = fragment_type
+        result["model_ids"] = model_ids + model_ids
+        result["scrambled_video"] = scrambled_flags
+        out.append(result)
+    _torch_save(out, os.path.join(results_dir, "duration_effect_scramble.pt"))
