@@ -45,6 +45,24 @@ def checkpoint_path(version, log_dir: str = "lightning_logs") -> str:
 
 # ------------------------------------------------------------ speaker utils
 
+def as_yaml(episodes, data_dir: str = "data") -> None:
+    """Episode JSONs -> YAMLs with blank speaker slots for annotation.
+
+    Parity: reference pig/grsa.py:28-32.
+    """
+    import yaml
+
+    outdir = os.path.join(data_dir, "out", "speaker_id")
+    os.makedirs(outdir, exist_ok=True)
+    for episode in episodes:
+        with open(os.path.join(data_dir, "in", "peppa", "episodes",
+                               f"ep_{episode}.json")) as f:
+            data = json.load(f)
+        speakerize(data)
+        with open(os.path.join(outdir, f"ep_{episode}.yaml"), "w") as f:
+            yaml.dump(data, f)
+
+
 def speakerize(data: Dict) -> None:
     """Blank speaker slots for manual annotation (reference pig/grsa.py:34-37)."""
     for part in data["narrator_splits"]:
@@ -683,3 +701,7 @@ def main(versions=VERSIONS, log_dir: str = "lightning_logs",
                 tables.append(df)
     os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
     pd.concat(tables).to_csv(out_csv, index=False, header=True, na_rep="NA")
+
+
+if __name__ == "__main__":
+    main()

@@ -198,3 +198,7 @@ def main(pairwise_csv: str = "data/out/pairwise_similarities.csv",
             plot_coef(tables, fragment_type, multiword,
                       results_dir=results_dir)
     return tables
+
+
+if __name__ == "__main__":
+    main()
