@@ -38,7 +38,16 @@ class PeppaPig(nn.Module):
         cfg = self.config
         dtype = _dtype_of(cfg.training.precision)
         audio_cfg = Wav2Vec2Config()
-        self.audio_encoder = Wav2Vec2Encoder(
+        # jax.checkpoint (remat) trades recompute for activation HBM on the
+        # backward pass; argnums 3+ of the encoders' __call__ are static
+        # (deterministic/train flags, tap names).
+        audio_cls = (nn.remat(Wav2Vec2Encoder, static_argnums=(3, 4, 5))
+                     if cfg.tpu.remat_audio else Wav2Vec2Encoder)
+        video3d_cls = (nn.remat(R3DEncoder, static_argnums=(3, 4))
+                       if cfg.tpu.remat_video else R3DEncoder)
+        image_cls = (nn.remat(ImageEncoder, static_argnums=(3, 4))
+                     if cfg.tpu.remat_video else ImageEncoder)
+        self.audio_encoder = audio_cls(
             full=cfg.audio.full,
             pooling=cfg.audio.pooling,
             project=cfg.audio.project,
@@ -50,7 +59,7 @@ class PeppaPig(nn.Module):
         if cfg.video.static:
             norm = "imagenet" if cfg.video.pretrained else "peppa"
             mean, std = resolve_stats(norm, cfg.data.data_dir)
-            self.video_encoder = ImageEncoder(
+            self.video_encoder = image_cls(
                 pooling=cfg.video.pooling,
                 project=cfg.video.project,
                 mean=tuple(mean), std=tuple(std),
@@ -61,7 +70,7 @@ class PeppaPig(nn.Module):
             # reference pig/models.py:140: kinetics stats if pretrained else peppa
             norm = "kinetics" if cfg.video.pretrained else "peppa"
             mean, std = resolve_stats(norm, cfg.data.data_dir)
-            self.video_encoder = R3DEncoder(
+            self.video_encoder = video3d_cls(
                 version=cfg.video.version,
                 pooling=cfg.video.pooling,
                 project=cfg.video.project,
@@ -77,6 +86,7 @@ class PeppaPig(nn.Module):
 
         Parity: reference pig/models.py:250-251.
         """
+        # positional call: static_argnums of the remat'd class must see these
         return self.video_encoder(video, frame_lengths, train, tap)
 
     def encode_audio(self, audio: jnp.ndarray,
@@ -87,9 +97,9 @@ class PeppaPig(nn.Module):
 
         Parity: reference pig/models.py:253-254.
         """
-        return self.audio_encoder(audio, sample_lengths,
-                                  deterministic=not train, tap=tap,
-                                  mask_padding=mask_padding)
+        # positional call: static_argnums of the remat'd class must see these
+        return self.audio_encoder(audio, sample_lengths, not train, tap,
+                                  mask_padding)
 
     def __call__(self, batch, train: bool = False):
         """Forward dispatch on batch type — reference pig/models.py:237-248."""

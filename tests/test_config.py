@@ -1,0 +1,92 @@
+"""Config-system tests: YAML preset parity, roundtrip, condition matching."""
+
+import copy
+import os
+
+import pytest
+import yaml
+
+from peppa_tpu.config import Config, conditions, default_config, match_conditions
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def preset(name):
+    return Config.load(os.path.join(REPO, f"hparams_{name}.yaml"))
+
+
+def test_all_shipped_presets_load():
+    names = ["base", "freeze_wav2vec", "jitter", "pretraining_a",
+             "pretraining_v", "pretraining_none", "static"]
+    for name in names:
+        cfg = preset(name)
+        assert cfg.margin == 0.2
+        assert cfg.data.target_size == (180, 100)
+        assert cfg.optimizer.t_total == 15000
+
+
+def test_preset_semantics_match_reference_ablations():
+    # reference pig/execution.py:44-77
+    base = preset("base")
+    assert base.audio.pretrained and base.video.pretrained
+    assert base.data.train.jitter and base.data.train.jitter_sd == 0.5
+
+    freeze = preset("freeze_wav2vec")
+    assert freeze.audio.freeze_feature_extractor
+    assert freeze.audio.freeze_encoder_layers == 12
+
+    jitter = preset("jitter")  # "jitter" condition = jitter OFF
+    assert not jitter.data.train.jitter
+
+    assert not preset("pretraining_v").audio.pretrained
+    assert preset("pretraining_v").video.pretrained
+    assert not preset("pretraining_a").video.pretrained
+    assert preset("pretraining_a").audio.pretrained
+    pn = preset("pretraining_none")
+    assert not pn.audio.pretrained and not pn.video.pretrained
+    assert preset("static").video.static
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = default_config()
+    cfg.margin = 0.3
+    cfg.data.train.batch_size = 16
+    cfg.audio.pooling = "average"
+    path = str(tmp_path / "cfg.yaml")
+    cfg.dump(path)
+    loaded = Config.load(path)
+    assert loaded.margin == 0.3
+    assert loaded.data.train.batch_size == 16
+    assert loaded.audio.pooling == "average"
+
+
+def test_reference_lightning_yaml_loads():
+    """A reference-style YAML with trainer_args + gpus key loads cleanly."""
+    raw = yaml.safe_load("""
+margin: 0.2
+data:
+  target_size: [180, 100]
+  audio_sample_rate: 44100
+  train: {batch_size: 8, jitter: true, jitter_sd: 0.5, shuffle: true}
+  val: {batch_size: 8}
+audio: {pretrained: true, pooling: attention}
+video: {pretrained: true, version: r2plus1d_18, pooling: attention}
+optimizer: {lr: 0.0001, warmup: 0.1, schedule: warmup_linear, t_total: 15000}
+training:
+  trainer_args: {gpus: 1, accumulate_grad_batches: 8, precision: 16}
+""")
+    cfg = Config.from_dict(raw)
+    assert cfg.training.accumulate_grad_batches == 8
+    assert cfg.training.precision == "bf16"  # fp16 AMP -> bf16 on TPU
+    assert cfg.data.target_size == (180, 100)
+
+
+def test_match_conditions_roundtrip(tmp_path):
+    log_dir = str(tmp_path / "logs")
+    for i, (name, cfg) in enumerate(conditions().items()):
+        d = os.path.join(log_dir, f"version_{i}")
+        os.makedirs(d)
+        cfg.dump(os.path.join(d, "hparams.yaml"))
+    runs = match_conditions(log_dir)
+    for i, name in enumerate(conditions()):
+        assert runs[name] == [i], f"{name}: {runs[name]}"

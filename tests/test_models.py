@@ -128,3 +128,50 @@ def test_conditions_cover_reference_ablations():
     assert cfgs["static"].video.static
     assert not cfgs["pretraining_none"].audio.pretrained
     assert not cfgs["pretraining_none"].video.pretrained
+
+
+def test_remat_matches_plain_forward(rng):
+    """remat_video/remat_audio change memory, not numerics."""
+    import copy
+
+    from peppa_tpu.data.types import ClipBatch
+
+    cfg = Config()
+    cfg.data.target_size = (32, 32)
+    cfg.training.precision = "fp32"
+    cfg.audio.full = False
+    cfg.video.version = "r3d_18"
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+
+    cfg_r = copy.deepcopy(cfg)
+    cfg_r.tpu.remat_audio = True
+    cfg_r.tpu.remat_video = True
+    model_r = PeppaPig(cfg_r)
+
+    b, frames, samples = 2, 4, 3200
+    batch = ClipBatch(
+        video=jnp.asarray(rng.uniform(size=(b, frames, 32, 32, 3))
+                          .astype(np.float32)),
+        audio=jnp.asarray(rng.normal(size=(b, samples)).astype(np.float32)),
+        video_duration=jnp.ones((b,)), audio_duration=jnp.ones((b,)),
+        video_frames=jnp.full((b,), frames, jnp.int32),
+        audio_samples=jnp.full((b,), samples, jnp.int32))
+    out = model.apply(variables, batch, train=False)
+    out_r = model_r.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(out_r.video),
+                               np.asarray(out.video), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_r.audio),
+                               np.asarray(out.audio), rtol=1e-5, atol=1e-5)
+
+    # grads flow through the remat'd towers
+    from peppa_tpu.ops.loss import triplet_loss
+
+    def loss_fn(params):
+        o = model_r.apply({"params": params,
+                           "batch_stats": variables.get("batch_stats", {})},
+                          batch, train=False)
+        return triplet_loss(o.video, o.audio)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
