@@ -33,8 +33,8 @@ def main():
     from peppa_tpu.ops.loss import triplet_loss
     from peppa_tpu.ops.metrics import recall_at_n
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    k_large = int(os.environ.get("BENCH_K", "8"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    k_large = int(os.environ.get("BENCH_K", "4"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     cfg = default_config()
