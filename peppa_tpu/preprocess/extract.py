@@ -54,6 +54,47 @@ def extract(target_size: Tuple[int, int] = (180, 100),
                              target_size, data_dir)
 
 
+def extract_realines(target_size: Tuple[int, int] = (180, 100),
+                     data_dir: str = "data") -> None:
+    """Re-cut clips around successfully force-aligned word spans.
+
+    Parity: reference pig/preprocess.py:74-89 (extract_realines): for each
+    realign JSON, cut the source episode from the first to the last
+    successfully-aligned word (offset by clipStart) and write the clip beside
+    the JSON (here as .npz at 10 fps instead of mpeg4 .mp4).
+    """
+    from itertools import groupby
+
+    items = []
+    for path in glob.glob(os.path.join(data_dir, "out", "realign", "*",
+                                       "ep_*", "*", "*.json")):
+        with open(path) as f:
+            meta = json.load(f)
+        meta["path"] = path
+        if "episode_filepath" in meta:
+            items.append(meta)
+    items.sort(key=lambda x: x["episode_filepath"])
+    for episode_path, metas in groupby(items,
+                                       key=lambda x: x["episode_filepath"]):
+        for meta in metas:
+            fully = [w for w in meta.get("words", [])
+                     if w.get("case") == "success"]
+            if not fully:
+                continue
+            start = fully[0]["start"] + meta["clipStart"]
+            end = fully[-1]["end"] + meta["clipStart"]
+            video = D.decode_video_frames(episode_path, start, end,
+                                          target_size=target_size)
+            src_fps = video.shape[0] / max(end - start, 1e-6)
+            idx = np.round(np.arange(0, video.shape[0],
+                                     src_fps / FPS)).astype(int)
+            video = video[idx[idx < video.shape[0]]]
+            audio = D.decode_audio(episode_path, start, end)
+            out = os.path.splitext(meta["path"])[0] + ".npz"
+            D.save_clip_npz(out, (np.clip(video, 0, 1) * 255).astype(np.uint8),
+                            audio, fps=FPS)
+
+
 def extract_from_episode(annotation: dict, video_path: str,
                          target_size: Tuple[int, int],
                          data_dir: str = "data") -> None:

@@ -56,7 +56,11 @@ class Trainer:
         self.logger = MetricsLogger(self.version_dir)
         self.mesh = make_mesh(config.tpu.mesh_shape, config.tpu.mesh_axes)
 
-    def fit(self, data, pretrained_loader=None) -> TrainState:
+    def fit(self, data, pretrained_loader=None,
+            resume_from: Optional[str] = None) -> TrainState:
+        """Train. `resume_from` restores a checkpoint (e.g. .../last.ckpt)
+        into the fresh state — the reference's Lightning resume_from_checkpoint
+        equivalent (SURVEY.md §5.4)."""
         cfg = self.config
         tcfg = cfg.training
         save_hparams(self.version_dir, cfg)
@@ -76,6 +80,12 @@ class Trainer:
                             freeze_encoder_layers=cfg.audio.freeze_encoder_layers,
                             params=variables["params"])
         state = TrainState.create(variables, tx)
+        if resume_from is not None:
+            from peppa_tpu.training.checkpoint import load_checkpoint
+
+            state, meta = load_checkpoint(resume_from, state)
+            logging.info("Resumed from %s at step %s", resume_from,
+                         int(np.asarray(state.step)))
         with self.mesh:
             state = jax.tree.map(
                 lambda x, s: jax.device_put(x, s), state,
@@ -103,7 +113,7 @@ class Trainer:
         max_opt_steps = tcfg.max_steps if tcfg.max_steps is not None else t_total
         accum = max(tcfg.accumulate_grad_batches, 1)
         start = time.time()
-        micro_step = 0
+        micro_step = int(np.asarray(state.step))  # nonzero after resume
         epoch = 0
         done = False
         timer = StepTimer(warmup_steps=2)

@@ -61,7 +61,8 @@ def main(args):
 
     trainer = Trainer(config, log_dir=args.log_dir)
     logging.info("Run directory: %s", trainer.version_dir)
-    trainer.fit(data, pretrained_loader=pretrained_loader_from_config(config))
+    trainer.fit(data, pretrained_loader=pretrained_loader_from_config(config),
+                resume_from=args.resume_from)
 
 
 if __name__ == "__main__":
@@ -77,6 +78,8 @@ if __name__ == "__main__":
     parser.add_argument("--margin", type=float, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--log_dir", type=str, default="lightning_logs")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="Checkpoint to resume from (e.g. .../last.ckpt)")
     parser.add_argument("--synthetic_data", action="store_true",
                         help="Train on synthetic clips (no media needed)")
     parser.add_argument("--synthetic_train", type=int, default=64)
