@@ -122,3 +122,29 @@ def test_uint8_video_through_model(rng):
     out_f32 = enc.apply(vs, jnp.asarray(vid_u8.astype(np.float32) / 255.0))
     np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f32),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_native_loader_stress_many_batches(tmp_path, rng):
+    """Order + content integrity under thread contention (64 batches, 8 threads)."""
+    from peppa_tpu.native import NativeBatchLoader, NativePack, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    clips = make_clips(rng, n=16, h=8, w=8)
+    path = str(tmp_path / "stress.pack")
+    write_pack(path, clips)
+    pack = NativePack(path)
+    plan = []
+    r = np.random.default_rng(1)
+    for i in range(64):
+        items = r.choice(16, size=3, replace=False).tolist()
+        plan.append((items, (10, 8, 8, 3, 2048)))
+    loader = NativeBatchLoader(pack, plan, n_threads=8, depth=3)
+    for (idx_list, _), batch in zip(plan, loader):
+        for row, item_i in enumerate(idx_list):
+            clip = clips[item_i]
+            s = clip.audio.shape[0]
+            np.testing.assert_array_equal(batch.audio[row, :s], clip.audio)
+            assert batch.audio_samples[row] == s
+    loader.close()
+    pack.close()
