@@ -25,9 +25,9 @@ def tiny_config(tmp_path):
     cfg.data.val.duration = 0.8
     cfg.training.precision = "fp32"
     cfg.training.accumulate_grad_batches = 2
-    cfg.training.max_epochs = 2
+    cfg.training.max_epochs = 1
     cfg.training.num_sanity_val_steps = 1
-    cfg.training.limit_train_batches = 3
+    cfg.training.limit_train_batches = 2
     cfg.training.limit_val_batches = 2
     cfg.training.log_every_n_steps = 1
     cfg.optimizer.t_total = 100
