@@ -89,6 +89,7 @@ IRREGULAR_VERBS = {
     "saw": "see", "seen": "see", "seeing": "see", "sees": "see",
     "took": "take", "taken": "take", "taking": "take",
     "fell": "fall", "fallen": "fall", "falling": "fall",
+    "caught": "catch", "catches": "catch",
 }
 
 LEXICON_POS = {
@@ -104,7 +105,8 @@ LEXICON_POS = {
              "everyone", "everybody", "pony", "elephant", "sheep", "zebra",
              "fox", "mole", "kangaroo", "grass", "flower", "flowers",
              "supper", "lunch", "breakfast", "dinner", "hat", "head",
-             "nose", "eyes", "feet", "hands", "work", "shop", "shopping",
+             "nose", "eyes", "feet", "hands", "shop", "shopping",
+             "morning", "evening", "night", "bedtime",
              "mr", "mrs", "miss", "madame", "gazelle"},
     "VERB": {"be", "have", "go", "do", "say", "make", "come", "get", "run",
              "jump", "play", "love", "like", "find", "eat", "see", "take",
@@ -114,7 +116,9 @@ LEXICON_POS = {
              "draw", "paint", "build", "drive", "walk", "talk", "tidy",
              "clean", "wash", "cook", "read", "write", "open", "close",
              "stop", "start", "finish", "catch", "throw", "kick", "hide",
-             "hop", "skip", "blow", "grow", "know", "think", "thank"},
+             "hop", "skip", "blow", "grow", "know", "think", "thank",
+             "arrive", "work", "visit", "bounce", "slide", "carry", "bring",
+             "hold", "turn", "push", "pull", "wait", "call", "ask", "tell"},
     "ADJ": {"big", "little", "small", "muddy", "happy", "sad", "good",
             "bad", "best", "favourite", "new", "old", "hot", "cold",
             "wet", "dry", "clean", "dirty", "tall", "short", "long",
@@ -122,6 +126,7 @@ LEXICON_POS = {
             "funny", "lovely", "beautiful", "magic", "heavy", "light",
             "high", "low", "easy", "hard", "soft", "full", "empty",
             "ready", "tired", "hungry", "scary", "dark", "bright",
+            "asleep", "own", "dear", "well", "fine", "nice", "poor",
             "green", "red", "blue", "yellow", "orange", "pink"},
 }
 
@@ -144,19 +149,22 @@ def rule_lemmatize(word: str, pos: str) -> str:
                 if suffix in ("ing", "ed") and len(stem) >= 3 \
                         and stem[-1] == stem[-2]:
                     stem = stem[:-1]  # running -> run
-                if suffix == "ing" and stem + "e" in LEXICON_POS["VERB"]:
-                    stem = stem + "e"  # riding -> ride
+                if suffix in ("ing", "ed") and stem + "e" in LEXICON_POS["VERB"]:
+                    stem = stem + "e"  # riding -> ride, arrived -> arrive
                 return stem
     return w
 
 
 def fallback_tagger(tokens: Sequence[str]) -> List[Tuple[str, str]]:
     """Lexicon + suffix POS tagger (no-spaCy path).  Returns (pos, lemma)."""
+    be_forms = {"be", "is", "are", "was", "were", "am", "been", "being"}
     out = []
     for tok in tokens:
         w = tok.lower().strip(".,!?")
         pos = "X"
-        if w in WORDS_NAMES:
+        if w in be_forms:
+            pos = "AUX"  # spaCy tags 'be' AUX, keeping it out of VERB sets
+        elif w in WORDS_NAMES:
             pos = "NOUN"  # PROPN folded into NOUN, reference :100
         else:
             for cand in ("VERB", "ADJ", "NOUN"):
