@@ -198,9 +198,14 @@ class UttData:
 
 def realign_paths(fragment_type: str, data_dir: str = "data"
                   ) -> Tuple[List[str], List[str]]:
-    audio = sorted(globlib.glob(os.path.join(
-        data_dir, "out", "realign", fragment_type, "ep_*", "*", "*.wav")))
-    return audio, [meta_path(p) for p in audio]
+    """(audio_paths, alignment_paths) for a fragment's realign tree.
+
+    Alignment JSONs are the source of truth (they always ship); the paired
+    .wav paths are derived and only need to exist for read_audio=True.
+    """
+    annos = sorted(globlib.glob(os.path.join(
+        data_dir, "out", "realign", fragment_type, "ep_*", "*", "*.json")))
+    return [os.path.splitext(p)[0] + ".wav" for p in annos], annos
 
 
 # ------------------------------------------------------------ text embedders
