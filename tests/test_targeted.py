@@ -90,3 +90,43 @@ def test_targeted_triplet_pipeline(tmp_path, rng):
         target_size=TS, audio_sample_rate=SR, data_dir=data_dir)
     assert len(scores) == len(info)
     assert ((scores >= 0) & (scores <= 1)).all()
+
+
+def test_targeted_plot_helpers(tmp_path, rng, monkeypatch):
+    """Bootstrap/boxplot/correlation helpers over a synthetic scores CSV."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    ett = importlib.import_module("evaluation_targeted_triplets")
+    monkeypatch.setattr(ett, "RESULTS_DIR", str(tmp_path / "rt"))
+
+    words = ["big", "little", "muddy", "new"]
+    rows = []
+    for i in range(80):
+        t0 = float(rng.uniform(0, 10))
+        w = words[i % 4]
+        d = words[(i + 1) % 4]
+        rows.append(dict(id=i, pos="ADJ" if i % 2 else "NOUN",
+                         target_word=w, distractor_word=d,
+                         clipStart=t0, clipEnd=t0 + float(rng.uniform(0.3, 2)),
+                         scrambled_video=False,
+                         result=float(rng.integers(0, 2))))
+    d = tmp_path / "rt" / "version_0"
+    d.mkdir(parents=True)
+    pd.DataFrame.from_records(rows).to_csv(d / "minimal_pairs_scores.csv",
+                                           index=False)
+
+    df = ett.get_all_results_df(0, ["ADJ", "NOUN"], per_word_results=True)
+    assert "word" in df.columns and "duration" in df.columns
+    boot = ett.bootstrap_scores_for_column(df, "word")
+    assert set(boot.columns) == {"score", "word"}
+    assert ((boot.score >= 0) & (boot.score <= 1)).all()
+
+    ett.create_per_word_result_plots("base", [0], min_samples=2)
+    assert os.path.exists(tmp_path / "rt" / "condition_base" /
+                          "acc_per_word_NOUN.pdf")
+    ett.create_duration_results_plots("base", [0])
+    assert os.path.exists(tmp_path / "rt" / "condition_base" /
+                          "acc_per_duration.pdf")
