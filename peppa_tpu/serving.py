@@ -1,0 +1,140 @@
+"""Serving: AOT-compiled, bucket-shaped encoder service.
+
+No reference equivalent (the reference's closest surface is example.py's
+ad-hoc embedding loop); this is the production inference path for the TPU
+framework:
+
+- every (bucket, batch) shape is compiled ONCE up front (`warmup`), so no
+  request ever pays an XLA compile;
+- requests are grouped by duration bucket, zero-padded to the bucket's static
+  shape and batched to `batch_size`; true lengths travel with the batch so
+  results come back unpadded;
+- similarity scoring reuses the fused Pallas kernel path.
+
+Usage:
+    svc = EncoderService.from_checkpoint("lightning_logs/version_0")
+    svc.warmup()
+    A = svc.embed_audio(list_of_waveforms)      # (N, 512) unit-norm
+    V = svc.embed_video(list_of_clips)          # (N, 512)
+    scores = svc.similarity(V, A)               # cosine matrix
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from peppa_tpu.config import Config
+
+
+class EncoderService:
+    def __init__(self, model, variables, config: Config,
+                 batch_size: int = 32,
+                 buckets: Optional[Sequence[float]] = None,
+                 fps: float = 10.0):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.batch_size = batch_size
+        self.buckets = tuple(buckets if buckets is not None
+                             else config.tpu.bucket_durations)
+        self.fps = fps
+        self.sample_rate = config.data.audio_sample_rate
+        w, h = config.data.target_size
+        self._hw = (h, w)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _audio(vs, audio):
+            return model.apply(vs, audio, method=model.encode_audio)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _video(vs, video):
+            return model.apply(vs, video, method=model.encode_video)
+
+        self._audio_fn = _audio
+        self._video_fn = _video
+
+    @classmethod
+    def from_checkpoint(cls, version_dir: str, **kw) -> "EncoderService":
+        from peppa_tpu.training.checkpoint import load_best_model
+
+        model, variables, config, _ = load_best_model(version_dir)
+        return cls(model, variables, config, **kw)
+
+    # ------------------------------------------------------------- shapes
+    def _audio_bucket(self, n_samples: int) -> int:
+        for b in self.buckets:
+            if n_samples <= int(round(b * self.sample_rate)):
+                return int(round(b * self.sample_rate))
+        return int(round(self.buckets[-1] * self.sample_rate))
+
+    def _video_bucket(self, n_frames: int) -> int:
+        for b in self.buckets:
+            if n_frames <= int(round(b * self.fps)):
+                return int(round(b * self.fps))
+        return int(round(self.buckets[-1] * self.fps))
+
+    # ------------------------------------------------------------- warmup
+    def warmup(self) -> None:
+        """Compile every (bucket, full-batch) program before serving."""
+        import jax.numpy as jnp
+
+        h, w = self._hw
+        for b in self.buckets:
+            s = int(round(b * self.sample_rate))
+            t = int(round(b * self.fps))
+            logging.info("serving warmup: bucket %.1fs (%d samples, %d frames)",
+                         b, s, t)
+            np.asarray(self._audio_fn(
+                self.variables, jnp.zeros((self.batch_size, s), jnp.float32)))
+            np.asarray(self._video_fn(
+                self.variables,
+                jnp.zeros((self.batch_size, t, h, w, 3), jnp.uint8)))
+
+    # -------------------------------------------------------------- embed
+    def _run_bucketed(self, items: Sequence[np.ndarray], bucket_of, pad_shape,
+                      fn) -> np.ndarray:
+        import jax.numpy as jnp
+
+        out = np.zeros((len(items), 512), np.float32)
+        by_bucket: Dict[int, List[int]] = {}
+        for i, item in enumerate(items):
+            by_bucket.setdefault(bucket_of(item), []).append(i)
+        for size, idxs in by_bucket.items():
+            for lo in range(0, len(idxs), self.batch_size):
+                chunk = idxs[lo:lo + self.batch_size]
+                batch = np.zeros(
+                    (self.batch_size,) + pad_shape(size, items[chunk[0]]),
+                    items[chunk[0]].dtype)
+                for row, i in enumerate(chunk):
+                    item = items[i]
+                    n = min(item.shape[0], size)  # overlong: crop to bucket
+                    batch[row, :n] = item[:n]
+                emb = np.asarray(fn(self.variables, jnp.asarray(batch)))
+                out[chunk] = emb[:len(chunk)]
+        return out
+
+    def embed_audio(self, waveforms: Sequence[np.ndarray]) -> np.ndarray:
+        """(S_i,) float32 waveforms -> (N, 512) unit-norm embeddings."""
+        waveforms = [np.asarray(x, np.float32).reshape(-1) for x in waveforms]
+        return self._run_bucketed(
+            waveforms, lambda x: self._audio_bucket(x.shape[0]),
+            lambda size, item: (size,), self._audio_fn)
+
+    def embed_video(self, clips: Sequence[np.ndarray]) -> np.ndarray:
+        """(T_i, H, W, 3) float [0,1] or uint8 clips -> (N, 512) embeddings."""
+        clips = [np.asarray(x) for x in clips]
+        return self._run_bucketed(
+            clips, lambda x: self._video_bucket(x.shape[0]),
+            lambda size, item: (size,) + item.shape[1:], self._video_fn)
+
+    @staticmethod
+    def similarity(video_emb: np.ndarray, audio_emb: np.ndarray) -> np.ndarray:
+        from peppa_tpu.ops.similarity import cosine_matrix
+
+        return np.asarray(cosine_matrix(video_emb, audio_emb))

@@ -1,0 +1,54 @@
+"""EncoderService: bucketed AOT serving path."""
+
+import jax
+import numpy as np
+import pytest
+
+from peppa_tpu.config import Config
+from peppa_tpu.models.dual_encoder import init_model
+from peppa_tpu.serving import EncoderService
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = Config()
+    cfg.data.target_size = (32, 32)
+    cfg.data.audio_sample_rate = 800
+    cfg.training.precision = "fp32"
+    cfg.audio.full = False
+    cfg.video.version = "r3d_18"
+    cfg.tpu.bucket_durations = (0.5, 1.0)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    return EncoderService(model, variables, cfg, batch_size=3)
+
+
+def test_embed_audio_bucketing(service, rng):
+    waves = [rng.normal(size=(s,)).astype(np.float32)
+             for s in (200, 380, 400, 750, 123)]
+    emb = service.embed_audio(waves)
+    assert emb.shape == (5, 512)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
+    # per-item results identical regardless of batch composition
+    solo = service.embed_audio([waves[3]])
+    np.testing.assert_allclose(solo[0], emb[3], atol=1e-5)
+
+
+def test_embed_video_and_similarity(service, rng):
+    clips = [rng.uniform(size=(t, 32, 32, 3)).astype(np.float32)
+             for t in (3, 5, 9)]
+    emb = service.embed_video(clips)
+    assert emb.shape == (3, 512)
+    waves = [rng.normal(size=(400,)).astype(np.float32) for _ in range(3)]
+    a = service.embed_audio(waves)
+    sim = service.similarity(emb, a)
+    assert sim.shape == (3, 3)
+    assert (np.abs(sim) <= 1.0 + 1e-5).all()
+
+
+def test_overlong_items_clamp_to_last_bucket(service, rng):
+    # 1.6 s at 800 Hz exceeds the 1.0 s last bucket -> cropped to it
+    wave = rng.normal(size=(1280,)).astype(np.float32)
+    emb = service.embed_audio([wave])
+    assert emb.shape == (1, 512)
+    ref = service.embed_audio([wave[:800]])
+    np.testing.assert_allclose(emb, ref, atol=1e-6)
