@@ -248,6 +248,25 @@ def pretraining(row) -> str:
                 row["audio_pretrained"], row["video_pretrained"]]
 
 
+def merge_scores(versions: Optional[Sequence] = None,
+                 results_dir: str = "results") -> None:
+    """Concatenate full_scores_v{N}.pt into full_scores.pt for format_tables."""
+    import glob as _glob
+
+    import torch
+
+    if versions is not None:
+        paths = [os.path.join(results_dir, f"full_scores_v{v}.pt")
+                 for v in versions]
+    else:
+        paths = sorted(_glob.glob(os.path.join(results_dir,
+                                               "full_scores_v*.pt")))
+    rows = []
+    for p in paths:
+        rows.extend(torch.load(p, weights_only=False))
+    _torch_save(rows, os.path.join(results_dir, "full_scores.pt"))
+
+
 def format_tables(results_dir: str = "results") -> None:
     """results/full_scores.pt -> scores_{dialog,narration}.tex (evaluation.py:202-226)."""
     import pandas as pd

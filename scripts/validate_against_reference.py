@@ -17,7 +17,12 @@ Checks:
 Last recorded run (reference @ v0):
   alignments: 1903 files, 11092 words, 95.1% with IPA phonemes,
               1581 multiword utterances, 25 speakers
-  word overlap: VERB 18/20, ADJ 7/8 vs the shipped eval sets
+  word overlap: VERB 19/20, ADJ 7/8 vs the shipped eval sets
+  full generation (--generate, 4.3 s vs reference's hours-long O(n^4) scan):
+    VERB 5244 rows (reference shipped 4776), mean clip duration 0.49 s (= ref)
+    ADJ   336 rows (reference shipped  402), mean clip duration 0.42 s (= ref)
+  (row deltas come from tagger word-set differences: built-in lexicon tagger
+   vs the reference's spaCy; with spaCy installed the tagger path is spaCy's.)
 """
 
 import argparse
