@@ -48,7 +48,10 @@ def main():
     def one_batch(vs, key):
         kv, ka = jax.random.split(key)
         batch = ClipBatch(
-            video=jax.random.uniform(kv, (b, frames, 100, 180, 3), jnp.float32),
+            # uint8 video: the production input format (native loader ships
+            # uint8; /255 + channel norm fuse on device)
+            video=jax.random.randint(kv, (b, frames, 100, 180, 3), 0, 256,
+                                     jnp.uint8),
             audio=jax.random.normal(ka, (b, samples), jnp.float32) * 0.1,
             video_duration=jnp.full((b,), 2.3),
             audio_duration=jnp.full((b,), 2.3),
