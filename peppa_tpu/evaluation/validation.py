@@ -73,9 +73,6 @@ def run_validation(eval_step: Callable, variables, val_loaders: List[Iterable],
         rec = resampled_recall(enc["video"], enc["audio"], key,
                                size=eff_size, n_samples=n_samples, n=10)
         metrics[f"{name}_rec_fixed"] = float(np.mean(np.asarray(rec)))
-    # rename to exact reference keys: val_rec_fixed / valnarr_rec_fixed
-    if "val_rec_fixed" not in metrics and "val_loss" in metrics:
-        pass
 
     for name, loader in (("val_triplet", dia3), ("valnarr_triplet", narr3)):
         enc = encode_loader(eval_step, variables, loader, shard_fn,
