@@ -37,6 +37,10 @@ class VideoConfig:
     version: str = "r2plus1d_18"  # r2plus1d_18 | r3d_18 | mc3_18
     pooling: str = "attention"  # average | attention
     static: bool = False  # True: per-frame ResNet-18 ablation
+    # Round R(2+1)D midplane widths to this multiple (e.g. 128): 23% faster
+    # video trunk on the MXU; changes weight shapes, so only valid with
+    # pretrained=False (from-scratch training).
+    midplanes_multiple: Optional[int] = None
 
 
 @dataclass

@@ -70,12 +70,17 @@ class PeppaPig(nn.Module):
             # reference pig/models.py:140: kinetics stats if pretrained else peppa
             norm = "kinetics" if cfg.video.pretrained else "peppa"
             mean, std = resolve_stats(norm, cfg.data.data_dir)
+            if cfg.video.midplanes_multiple and cfg.video.pretrained:
+                raise ValueError(
+                    "video.midplanes_multiple changes weight shapes and is "
+                    "incompatible with video.pretrained=True")
             self.video_encoder = video3d_cls(
                 version=cfg.video.version,
                 pooling=cfg.video.pooling,
                 project=cfg.video.project,
                 mean=tuple(mean), std=tuple(std),
                 dtype=dtype,
+                midplanes_multiple=cfg.video.midplanes_multiple,
                 name="video_encoder",
             )
 

@@ -175,3 +175,27 @@ def test_remat_matches_plain_forward(rng):
     grads = jax.grad(loss_fn)(variables["params"])
     leaves = jax.tree_util.tree_leaves(grads)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_midplanes_multiple_variant(rng):
+    """MXU-aligned midplane widths: valid from-scratch, blocked w/ pretrained."""
+    from peppa_tpu.models.video3d import R3DEncoder, midplanes
+
+    assert midplanes(64, 64) == 144
+    assert midplanes(64, 64, 128) == 128
+    assert midplanes(256, 256, 128) == 512  # 576 -> nearest 128 multiple
+
+    enc = R3DEncoder(version="r2plus1d_18", pooling="average", project=False,
+                     midplanes_multiple=128)
+    video = jnp.asarray(rng.uniform(size=(1, 4, 16, 16, 3)).astype(np.float32))
+    vs = enc.init(jax.random.PRNGKey(0), video)
+    out = enc.apply(vs, video)
+    assert out.shape == (1, 512)
+    k = vs["params"]["trunk"]["layer1_block0"]["conv1"]["spatial"]["kernel"]
+    assert k.shape[-1] == 128  # rounded from 144
+
+    cfg = Config()
+    cfg.video.midplanes_multiple = 128
+    cfg.video.pretrained = True
+    with pytest.raises(ValueError):
+        init_model(cfg, jax.random.PRNGKey(0))
