@@ -96,19 +96,37 @@ class PigData:
             force_cache=d.val.force_cache, split=["val"], fragment_type="narration",
             duration=None, jitter=False, **common)
 
+    @staticmethod
+    def _host_shard() -> tuple:
+        """(process_index, process_count) — multi-host batch sharding.
+
+        Each host feeds its own slice of the global batch stream (reference
+        parallelism was DataLoader workers on one host, SURVEY.md §2.10);
+        here batch i belongs to host i % process_count.
+        """
+        import jax
+
+        try:
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
+
     # -------------------------------------------------------------- loaders
     def train_batches(self, epoch: int = 0) -> Iterator[ClipBatch]:
         cfg = self.config
         d = self.data
         buckets = tuple(cfg.tpu.bucket_durations)
+        pi, pc = self._host_shard()
         native = self._native_train_batches(epoch)
         if native is not None:
             yield from native
         elif hasattr(self.train, "__len__"):
-            yield from bucketed_batches(
-                self.train, batch_size=d.train.batch_size, buckets=buckets,
-                sample_rate=d.audio_sample_rate,
-                shuffle=d.train.shuffle, seed=cfg.training.seed + epoch)
+            for i, batch in enumerate(bucketed_batches(
+                    self.train, batch_size=d.train.batch_size, buckets=buckets,
+                    sample_rate=d.audio_sample_rate,
+                    shuffle=d.train.shuffle, seed=cfg.training.seed + epoch)):
+                if i % pc == pi:
+                    yield batch
         else:
             # iterable: window into bucket groups on the fly
             pending = {b: [] for b in buckets}
@@ -160,6 +178,9 @@ class PigData:
             batch_size=d.train.batch_size, target_hw=d.target_size,
             sample_rate=d.audio_sample_rate,
             shuffle=d.train.shuffle, seed=cfg.training.seed + epoch)
+        pi, pc = self._host_shard()
+        if pc > 1:
+            plan = plan[pi::pc]
         logging.info("Native loader: %d batches from %s", len(plan), pack_path)
         return iter(NativeBatchLoader(pack, plan,
                                       n_threads=max(d.num_workers, 1),
