@@ -78,3 +78,27 @@ def grouped_audiofile_loader(paths: Sequence[str], batch_size: int = 32,
 
 def grouped_audioarray_loader(arrays, batch_size: int = 32):
     return grouped_audio_loader(arrays, batch_size)
+
+
+# ------------------------------------------------------------ media loaders
+
+def video_files(paths: Sequence[str],
+                audio_sample_rate: int = DEFAULT_SAMPLE_RATE):
+    """Decode whole media files to Clips (reference pig/data.py:117-136)."""
+    from peppa_tpu.data.types import RawSegment
+
+    for path in paths:
+        duration = D.media_duration(path)
+        yield D.decode_segment(
+            RawSegment(path=path, video_start=0.0, video_end=duration,
+                       audio_start=0.0, audio_end=duration),
+            audio_sample_rate)
+
+
+def videofile_loader(paths: Sequence[str], batch_size: int = 32,
+                     audio_sample_rate: int = DEFAULT_SAMPLE_RATE):
+    """Padded ClipBatches from whole media files."""
+    from peppa_tpu.data.dataset import collate
+
+    return _batched(video_files(paths, audio_sample_rate), batch_size,
+                    collate)
