@@ -40,6 +40,8 @@ class SyntheticClipDataset:
     def __len__(self) -> int:
         return len(self.durations)
 
+    N_CLASSES = 8  # shared latent classes driving both modalities
+
     def __getitem__(self, idx: int) -> Clip:
         if idx >= len(self.durations):
             raise IndexError
@@ -48,11 +50,28 @@ class SyntheticClipDataset:
         w, h = self.target_size
         t = max(int(round(dur * self.fps)), 1)
         s = max(int(round(dur * self.sample_rate)), 1)
-        base = rng.uniform(0, 1, size=(1, h, w, 3)).astype(np.float32)
-        video = np.clip(base + 0.05 * rng.standard_normal((t, h, w, 3)), 0, 1)
-        freq = 100.0 + (rng.integers(0, 40) * 50 if self.correlated else 0)
+        if self.correlated:
+            # a latent class drives BOTH modalities in a generalizable way:
+            # video = class-colored gradient pattern + noise, audio = sine at
+            # the class frequency + noise.  A contrastive model trained on
+            # one sample of clips can retrieve across held-out samples, so
+            # learning is measurable above chance on fresh validation items.
+            k = int(rng.integers(0, self.N_CLASSES))
+            hue = np.asarray([np.sin(2 * np.pi * (k / self.N_CLASSES + p))
+                              for p in (0.0, 1 / 3, 2 / 3)], np.float32)
+            grad = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+            base = 0.5 + 0.25 * hue * (0.5 + (k % 2) * grad)
+            video = np.clip(base[None] + 0.08 * rng.standard_normal(
+                (t, h, w, 3)).astype(np.float32), 0, 1)
+            freq = 80.0 * (2.0 ** (k / 2.0))
+        else:
+            video = np.clip(
+                rng.uniform(0, 1, size=(1, h, w, 3)).astype(np.float32)
+                + 0.05 * rng.standard_normal((t, h, w, 3)), 0, 1)
+            freq = 100.0
         tt = np.arange(s) / self.sample_rate
-        audio = (0.1 * np.sin(2 * np.pi * freq * tt)
+        phase = rng.uniform(0, 2 * np.pi)
+        audio = (0.1 * np.sin(2 * np.pi * freq * tt + phase)
                  + 0.01 * rng.standard_normal(s)).astype(np.float32)
         return Clip(video=video.astype(np.float32), audio=audio,
                     video_duration=float(dur), audio_duration=float(dur),
