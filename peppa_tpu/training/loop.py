@@ -48,6 +48,10 @@ def parse_max_time(value: Optional[str]) -> Optional[float]:
     return ((d * 24 + h) * 60 + m) * 60 + s
 
 
+class NonFiniteLossError(RuntimeError):
+    """Raised when training hits a non-finite loss (after an emergency save)."""
+
+
 class Trainer:
     def __init__(self, config: Config, log_dir: str = "lightning_logs",
                  version_dir: Optional[str] = None):
@@ -144,6 +148,23 @@ class Trainer:
                         profile_dir = None
                     if micro_step % tcfg.log_every_n_steps == 0:
                         loss = float(metrics["train_loss"])
+                        # failure detection (SURVEY.md §5.3 — none in the
+                        # reference): a non-finite loss aborts with an
+                        # emergency checkpoint instead of silently training on
+                        if not np.isfinite(loss):
+                            from peppa_tpu.training.checkpoint import \
+                                save_checkpoint
+
+                            path = os.path.join(self.version_dir,
+                                                "checkpoints",
+                                                "emergency-nonfinite.ckpt")
+                            save_checkpoint(path, state, {
+                                "monitor": None, "epoch": epoch,
+                                "reason": f"non-finite loss at step "
+                                          f"{micro_step}"})
+                            raise NonFiniteLossError(
+                                f"non-finite train loss at step {micro_step};"
+                                f" state saved to {path}")
                         self.logger.log({"train_loss": loss,
                                          **timer.metrics()},
                                         step=micro_step, epoch=epoch)

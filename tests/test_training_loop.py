@@ -80,3 +80,37 @@ def test_trainer_end_to_end(tmp_path):
         os.path.join(version_dir, "checkpoints", "last.ckpt"), fresh)
     assert int(np.asarray(restored.step)) == int(np.asarray(state.step))
     assert "metrics" in meta
+
+
+def test_nonfinite_loss_watchdog(tmp_path, monkeypatch):
+    """A NaN loss aborts with an emergency checkpoint (failure detection)."""
+    import numpy as np
+
+    import peppa_tpu.training.loop as L
+    from peppa_tpu.data.datamodule import SyntheticPigData
+
+    cfg = tiny_config(tmp_path)
+    cfg.training.log_every_n_steps = 1
+    data = SyntheticPigData(cfg, n_train=8, n_val=8)
+    trainer = L.Trainer(cfg, log_dir=str(tmp_path / "logs"))
+
+    import peppa_tpu.training.step as S
+
+    real = S.make_train_step
+
+    def poisoned(model, margin, donate=True):
+        step = real(model, margin, donate=donate)
+
+        def run(state, batch, rng):
+            new_state, metrics = step(state, batch, rng)
+            metrics = dict(metrics)
+            metrics["train_loss"] = np.float32("nan")
+            return new_state, metrics
+
+        return run
+
+    monkeypatch.setattr(L, "make_train_step", poisoned)
+    with pytest.raises(L.NonFiniteLossError):
+        trainer.fit(data)
+    assert os.path.exists(os.path.join(trainer.version_dir, "checkpoints",
+                                       "emergency-nonfinite.ckpt"))
