@@ -48,3 +48,18 @@ def test_export_triplets(tmp_path, rng, monkeypatch):
                 or os.path.exists(os.path.join(d, "left.png")))
         assert entry["target"] in ("l", "r")
         assert entry["target_file"] != entry["distractor_file"]
+
+
+def test_run_terminal_check(tmp_path, rng, monkeypatch):
+    import peppa_tpu.evaluation.human_check as hc
+
+    key = [dict(index=0, target="l", target_file="a", distractor_file="b"),
+           dict(index=1, target="r", target_file="c", distractor_file="d")]
+    out_dir = tmp_path / "check"
+    out_dir.mkdir()
+    with open(out_dir / "answer_key.json", "w") as f:
+        json.dump(key, f)
+    answers = iter(["l", "l"])  # first right, second wrong
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+    acc = hc.run_terminal_check(str(out_dir))
+    assert acc == 0.5

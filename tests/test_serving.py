@@ -52,3 +52,7 @@ def test_overlong_items_clamp_to_last_bucket(service, rng):
     assert emb.shape == (1, 512)
     ref = service.embed_audio([wave[:800]])
     np.testing.assert_allclose(emb, ref, atol=1e-6)
+
+
+def test_warmup_compiles_all_buckets(service):
+    service.warmup()  # compiles every (bucket, batch) program; must not raise
