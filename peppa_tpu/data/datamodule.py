@@ -33,6 +33,34 @@ from peppa_tpu.data.dataset import (
 )
 from peppa_tpu.data.stats import compute_stats, save_stats
 from peppa_tpu.data.types import ClipBatch
+from peppa_tpu.utils import dist
+
+
+def multihost_interleave(stream, shape_key: Callable, process_index: int,
+                         process_count: int):
+    """Regroup a deterministic batch stream for multi-host input.
+
+    Every host iterates the SAME stream (same seed => identical order) and
+    gets back one entry per *global* step such that at step t all hosts hold
+    a batch of the SAME shape; the t-th global batch is the concatenation of
+    all hosts' local batches (see parallel/mesh.py shard_batch). Entries are
+    grouped by `shape_key` in stream order; each complete group of
+    `process_count` same-shape entries emits element `process_index`.
+    Incomplete trailing groups are dropped so every host sees exactly the
+    same step count — a ragged tail would desynchronize hosts and deadlock
+    the collectives at epoch end.
+    """
+    if process_count <= 1:
+        yield from stream
+        return
+    pending = {}
+    for entry in stream:
+        key = shape_key(entry)
+        group = pending.setdefault(key, [])
+        group.append(entry)
+        if len(group) == process_count:
+            yield group[process_index]
+            pending[key] = []
 
 
 class PigData:
@@ -98,18 +126,15 @@ class PigData:
 
     @staticmethod
     def _host_shard() -> tuple:
-        """(process_index, process_count) — multi-host batch sharding.
+        """(process_index, process_count) — multi-host input topology.
 
-        Each host feeds its own slice of the global batch stream (reference
-        parallelism was DataLoader workers on one host, SURVEY.md §2.10);
-        here batch i belongs to host i % process_count.
+        Every host iterates the SAME deterministic batch plan; each host's
+        yielded batch is its local slab of a global batch of
+        process_count * batch_size rows (assembled in shard_batch via
+        make_array_from_process_local_data). multihost_interleave guarantees
+        identical step counts and identical shapes per step across hosts.
         """
-        import jax
-
-        try:
-            return jax.process_index(), jax.process_count()
-        except Exception:
-            return 0, 1
+        return dist.process_index(), dist.process_count()
 
     # -------------------------------------------------------------- loaders
     def train_batches(self, epoch: int = 0) -> Iterator[ClipBatch]:
@@ -117,30 +142,38 @@ class PigData:
         d = self.data
         buckets = tuple(cfg.tpu.bucket_durations)
         pi, pc = self._host_shard()
+        batch_shape = lambda b: (np.shape(b.video), np.shape(b.audio))
         native = self._native_train_batches(epoch)
         if native is not None:
             yield from native
         elif hasattr(self.train, "__len__"):
-            for i, batch in enumerate(bucketed_batches(
+            # Every host loads the full deterministic stream and keeps 1/pc
+            # of it (the native path below avoids the redundant loads by
+            # interleaving the plan before any item is read).
+            yield from multihost_interleave(
+                bucketed_batches(
                     self.train, batch_size=d.train.batch_size, buckets=buckets,
                     sample_rate=d.audio_sample_rate,
-                    shuffle=d.train.shuffle, seed=cfg.training.seed + epoch)):
-                if i % pc == pi:
-                    yield batch
+                    shuffle=d.train.shuffle, seed=cfg.training.seed + epoch),
+                batch_shape, pi, pc)
         else:
             # iterable: window into bucket groups on the fly
-            pending = {b: [] for b in buckets}
-            from peppa_tpu.data.dataset import bucket_for
+            def stream():
+                pending = {b: [] for b in buckets}
+                from peppa_tpu.data.dataset import bucket_for
 
-            for item in self.train:
-                b = bucket_for(max(item.video_duration, item.audio_duration),
-                               buckets)
-                pending[b].append(item)
-                if len(pending[b]) == d.train.batch_size:
-                    yield collate(pending[b],
-                                  video_frames=int(round(b * D.FPS)),
-                                  audio_samples=int(round(b * d.audio_sample_rate)))
-                    pending[b] = []
+                for item in self.train:
+                    b = bucket_for(max(item.video_duration,
+                                       item.audio_duration), buckets)
+                    pending[b].append(item)
+                    if len(pending[b]) == d.train.batch_size:
+                        yield collate(
+                            pending[b],
+                            video_frames=int(round(b * D.FPS)),
+                            audio_samples=int(round(b * d.audio_sample_rate)))
+                        pending[b] = []
+
+            yield from multihost_interleave(stream(), batch_shape, pi, pc)
 
     def _native_train_batches(self, epoch: int) -> Optional[Iterator[ClipBatch]]:
         """Fast path: packed cache + C++ prefetch loader (peppa_tpu/native).
@@ -180,7 +213,11 @@ class PigData:
             shuffle=d.train.shuffle, seed=cfg.training.seed + epoch)
         pi, pc = self._host_shard()
         if pc > 1:
-            plan = plan[pi::pc]
+            # same plan on every host (same seed); each host takes its slot
+            # from complete same-shape groups of pc batches so all hosts run
+            # the same number of steps with the same shapes per step
+            plan = list(multihost_interleave(
+                plan, lambda p: (len(p[0]),) + tuple(p[1]), pi, pc))
         logging.info("Native loader: %d batches from %s", len(plan), pack_path)
         return iter(NativeBatchLoader(pack, plan,
                                       n_threads=max(d.num_workers, 1),

@@ -244,6 +244,251 @@ def convert_resnet18(state: Dict[str, Any]):
     return params, stats
 
 
+# ------------------------------------------- trained PeppaPig checkpoints
+
+def _tolerant_pickle_module():
+    """A pickle module whose Unpickler stubs classes from absent packages.
+
+    Reference Lightning checkpoints pickle references to classes from
+    pytorch_lightning / fairseq / omegaconf (e.g. the `callbacks` dict is
+    keyed by the ModelCheckpoint CLASS, reference pig/evaluation.py:46);
+    none of those packages are in this image, and none of them are needed —
+    only tensors and plain containers matter.  Missing classes are replaced
+    with generated dict-subclass stubs: hashable as dict keys (classes always
+    are) and state-restorable for dict-like payloads (AttributeDict etc.).
+    """
+    import pickle
+    import types
+
+    class _StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (dict,), {"__module__": module})
+
+    mod = types.ModuleType("peppa_tolerant_pickle")
+    mod.Unpickler = _StubUnpickler
+    mod.load = lambda f, **kw: _StubUnpickler(f).load()
+    mod.loads = lambda b, **kw: _StubUnpickler(__import__("io").BytesIO(b)).load()
+    return mod
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """torch.load a checkpoint even when its pickled classes' packages are absent."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=_tolerant_pickle_module())
+
+
+def convert_wav2vec2_torchaudio(state: Dict[str, Any]) -> Dict[str, Any]:
+    """torchaudio Wav2Vec2Model state dict -> our Wav2Vec2 trunk param tree.
+
+    This is the naming INSIDE a trained PeppaPig Lightning checkpoint: the
+    reference wraps `import_fairseq_model(...)` / `wav2vec2_base(num_out=28)`
+    as `.audio` (pig/models.py:66-74), so checkpoint keys use torchaudio's
+    names (feature_extractor.conv_layers.{i}.conv, encoder.feature_projection,
+    encoder.transformer.layers.{i}.attention/feed_forward, aux) — distinct
+    from the raw-fairseq names convert_wav2vec2_fairseq handles.  Unlike the
+    fairseq import, the 28-d aux head here carries trained weights.
+
+    `state` keys are relative (any `audio_encoder.audio.` prefix stripped).
+    """
+    p: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.conv.weight" in state:
+        fe[f"conv{i}"] = {"kernel": conv1d(
+            state[f"feature_extractor.conv_layers.{i}.conv.weight"])}
+        i += 1
+    if "feature_extractor.conv_layers.0.layer_norm.weight" in state:
+        fe["group_norm"] = {
+            "scale": _np(state["feature_extractor.conv_layers.0.layer_norm.weight"]),
+            "bias": _np(state["feature_extractor.conv_layers.0.layer_norm.bias"]),
+        }
+    p["feature_extractor"] = fe
+
+    fp = "encoder.feature_projection"
+    if f"{fp}.layer_norm.weight" in state:
+        p["proj_ln"] = {"scale": _np(state[f"{fp}.layer_norm.weight"]),
+                        "bias": _np(state[f"{fp}.layer_norm.bias"])}
+        p["proj"] = {"kernel": linear(state[f"{fp}.projection.weight"]),
+                     "bias": _np(state[f"{fp}.projection.bias"])}
+
+    # positional conv, weight-norm split (dim=2). Older torch stores
+    # weight_g/weight_v; newer parametrizations.weight.original0/original1.
+    pc = "encoder.transformer.pos_conv_embed.conv"
+    wg_key, wv_key = f"{pc}.weight_g", f"{pc}.weight_v"
+    if wg_key not in state:
+        wg_key = f"{pc}.parametrizations.weight.original0"
+        wv_key = f"{pc}.parametrizations.weight.original1"
+    if wv_key in state:
+        p["pos_conv"] = {
+            "pos_conv_v": _np(state[wv_key]).transpose(2, 1, 0),
+            "pos_conv_g": _np(state[wg_key]).transpose(2, 1, 0),
+            "pos_conv_bias": _np(state[f"{pc}.bias"]),
+        }
+    if "encoder.transformer.layer_norm.weight" in state:
+        p["encoder_ln"] = {
+            "scale": _np(state["encoder.transformer.layer_norm.weight"]),
+            "bias": _np(state["encoder.transformer.layer_norm.bias"])}
+    i = 0
+    while f"encoder.transformer.layers.{i}.attention.q_proj.weight" in state:
+        pre = f"encoder.transformer.layers.{i}"
+        p[f"layer{i}"] = {
+            "attention": {
+                name: {"kernel": linear(state[f"{pre}.attention.{name}.weight"]),
+                       "bias": _np(state[f"{pre}.attention.{name}.bias"])}
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "ln1": {"scale": _np(state[f"{pre}.layer_norm.weight"]),
+                    "bias": _np(state[f"{pre}.layer_norm.bias"])},
+            "ffn_in": {"kernel": linear(
+                state[f"{pre}.feed_forward.intermediate_dense.weight"]),
+                "bias": _np(state[f"{pre}.feed_forward.intermediate_dense.bias"])},
+            "ffn_out": {"kernel": linear(
+                state[f"{pre}.feed_forward.output_dense.weight"]),
+                "bias": _np(state[f"{pre}.feed_forward.output_dense.bias"])},
+            "ln2": {"scale": _np(state[f"{pre}.final_layer_norm.weight"]),
+                    "bias": _np(state[f"{pre}.final_layer_norm.bias"])},
+        }
+        i += 1
+    if "aux.weight" in state:
+        p["aux"] = {"kernel": linear(state["aux.weight"]),
+                    "bias": _np(state["aux.bias"])}
+    return p
+
+
+def _attention_pool(state: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference Attention module (pig/models.py:30-43) -> AttentionPool tree."""
+    return {
+        "hidden": {"kernel": linear(state[f"{prefix}hidden.weight"]),
+                   "bias": _np(state[f"{prefix}hidden.bias"])},
+        "out": {"kernel": linear(state[f"{prefix}out.weight"]),
+                "bias": _np(state[f"{prefix}out.bias"])},
+    }
+
+
+def convert_peppa_state_dict(state: Dict[str, Any], config
+                             ) -> tuple:
+    """Complete trained PeppaPig state_dict -> (params, batch_stats) updates.
+
+    Maps BOTH towers of a reference Lightning checkpoint
+    (pig/models.py:223-235: video_encoder = R3DEncoder/ImageEncoder,
+    audio_encoder = Wav2VecEncoder) plus poolings and projections onto our
+    variable tree, so reference-trained models evaluate on this framework.
+    """
+
+    def sub(prefix: str) -> Dict[str, Any]:
+        return {k[len(prefix):]: v for k, v in state.items()
+                if k.startswith(prefix)}
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ---------------------------------------------------------- audio tower
+    a: Dict[str, Any] = {"wav2vec2": convert_wav2vec2_torchaudio(
+        sub("audio_encoder.audio."))}
+    if config.audio.pooling == "attention":
+        a["AttentionPool_0"] = _attention_pool(state, "audio_encoder.audiopool.")
+    if config.audio.project and "audio_encoder.project.weight" in state:
+        a["project"] = {"kernel": linear(state["audio_encoder.project.weight"]),
+                        "bias": _np(state["audio_encoder.project.bias"])}
+    params["audio_encoder"] = a
+
+    # ---------------------------------------------------------- video tower
+    v: Dict[str, Any] = {}
+    vs: Dict[str, Any] = {}
+    if config.video.static:
+        v["trunk"], vs["trunk"] = convert_resnet18(sub("video_encoder.image."))
+        if config.video.pooling == "attention":
+            v["pool"] = _attention_pool(state, "video_encoder.pool.")
+    else:
+        v["trunk"], vs["trunk"] = convert_video_resnet(
+            sub("video_encoder.video."), config.video.version)
+        if config.video.pooling == "attention":
+            v["VideoAttentionPool_0"] = {"attn": _attention_pool(
+                state, "video_encoder.videopool.attn.")}
+    if config.video.project and "video_encoder.project.weight" in state:
+        v["project"] = {"kernel": linear(state["video_encoder.project.weight"]),
+                        "bias": _np(state["video_encoder.project.bias"])}
+    params["video_encoder"] = v
+    stats["video_encoder"] = vs
+    return params, stats
+
+
+def _merge_intersect(dst: Dict[str, Any], src: Dict[str, Any], scope: str,
+                     dropped: list) -> None:
+    """Recursively merge `src` into `dst`, shape-checked; keys absent from the
+    model tree are skipped (e.g. transformer weights under audio.full=False,
+    where our trace never instantiates the unused layers) and reported."""
+    for k, v in src.items():
+        if k not in dst:
+            dropped.append(f"{scope}/{k}")
+            continue
+        if isinstance(v, dict) and isinstance(dst[k], dict):
+            _merge_intersect(dst[k], v, f"{scope}/{k}", dropped)
+        else:
+            want = tuple(np.shape(dst[k]))
+            got = tuple(np.shape(v))
+            if want != got:
+                raise ValueError(f"Shape mismatch at {scope}/{k}: model "
+                                 f"{want} vs checkpoint {got}")
+            dst[k] = v
+
+
+def _deep_copy_tree(tree):
+    if isinstance(tree, dict):
+        return {k: _deep_copy_tree(v) for k, v in tree.items()}
+    return tree
+
+
+def load_peppa_checkpoint(path: str, config=None):
+    """Load a complete trained reference PeppaPig Lightning checkpoint.
+
+    Returns (model, variables, config, meta) ready for evaluation — the
+    import counterpart of reference PeppaPig.load_from_checkpoint
+    (pig/evaluation.py:52).  The config comes from the checkpoint's embedded
+    hyper_parameters unless one is passed explicitly.
+    """
+    import jax
+
+    from peppa_tpu.config import Config
+    from peppa_tpu.models.dual_encoder import init_model
+
+    blob = load_torch_checkpoint(path)
+    state = blob.get("state_dict", blob)
+    if config is None:
+        hp = blob.get("hyper_parameters")
+        if hp is None:
+            raise ValueError(f"{path} embeds no hyper_parameters; "
+                             "pass config= explicitly")
+        config = Config.from_dict(dict(hp))
+    model, variables = init_model(config, jax.random.PRNGKey(0))
+    p_new, s_new = convert_peppa_state_dict(state, config)
+    if not p_new["audio_encoder"]["wav2vec2"].get("feature_extractor") or \
+            not p_new["video_encoder"].get("trunk"):
+        raise ValueError(
+            f"{path}: state_dict does not look like a PeppaPig checkpoint "
+            "(no audio feature extractor / video trunk weights found)")
+
+    params = _deep_copy_tree(variables["params"])
+    dropped: list = []
+    _merge_intersect(params, p_new, "params", dropped)
+    out = dict(variables)
+    out["params"] = params
+    if "batch_stats" in variables:
+        bstats = _deep_copy_tree(variables["batch_stats"])
+        _merge_intersect(bstats, s_new, "batch_stats", dropped)
+        out["batch_stats"] = bstats
+    if dropped:
+        logging.info("Checkpoint import: %d tensors not in the model tree "
+                     "(first: %s)", len(dropped), dropped[0])
+    meta = {k: blob.get(k) for k in ("epoch", "global_step") if k in blob}
+    return model, out, config, meta
+
+
 # ------------------------------------------------------------ top-level glue
 
 def _merge_check(dst: Dict[str, Any], src: Dict[str, Any], scope: str) -> None:

@@ -93,7 +93,13 @@ struct Loader {
   std::atomic<bool> stop{false};
 
   ~Loader() {
-    stop.store(true);
+    // stop must flip under the mutex: a thread that evaluated its wait
+    // predicate (false) but has not yet blocked would otherwise miss the
+    // notify and sleep forever, deadlocking the joins below.
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop.store(true);
+    }
     cv_space.notify_all();
     cv_ready.notify_all();
     for (auto& t : workers)
@@ -182,12 +188,35 @@ void* ppk_open(const char* path) {
     close(fd);
     return nullptr;
   }
+  // Bounds-validate the whole pack up front so a truncated or stale file
+  // (e.g. a write interrupted before os.replace) fails cleanly here instead
+  // of SIGSEGVing inside a worker-thread memcpy later.
+  const size_t size = size_t(st.st_size);
+  const uint64_t n = hdr->n_items;
+  if (n > (size - sizeof(PackHeader)) / sizeof(ItemEntry)) {
+    munmap(base, st.st_size);
+    close(fd);
+    return nullptr;
+  }
+  const auto* index = reinterpret_cast<const ItemEntry*>(
+      reinterpret_cast<const uint8_t*>(base) + sizeof(PackHeader));
+  for (uint64_t i = 0; i < n; ++i) {
+    const ItemEntry& e = index[i];
+    const uint64_t vbytes = uint64_t(e.t) * e.h * e.w * e.c;
+    const uint64_t abytes = e.s * sizeof(float);
+    if (e.video_off > size || vbytes > size - e.video_off ||
+        e.audio_off > size || abytes > size - e.audio_off) {
+      munmap(base, st.st_size);
+      close(fd);
+      return nullptr;
+    }
+  }
   auto* p = new Pack;
   p->fd = fd;
   p->base = reinterpret_cast<const uint8_t*>(base);
-  p->size = st.st_size;
-  p->n_items = hdr->n_items;
-  p->index = reinterpret_cast<const ItemEntry*>(p->base + sizeof(PackHeader));
+  p->size = size;
+  p->n_items = n;
+  p->index = index;
   return p;
 }
 

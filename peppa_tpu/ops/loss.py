@@ -52,7 +52,11 @@ def triplet_loss(v: jnp.ndarray, a: jnp.ndarray, margin: float = 0.2,
     normalize+matmul+hinge chain runs as one fused Pallas kernel
     (ops/pallas/loss.py); elsewhere the jnp path below.
     """
-    if use_pallas and v.ndim == 2 and v.shape[0] <= 4096:
+    # VMEM budget: the fused kernel holds both (B_pad, D) embedding blocks
+    # AND the (B_pad, B_pad) f32 score block in VMEM; past ~1024 rows the
+    # score block alone (4 MB at B=1024, 64 MB at B=4096) blows the ~16 MB
+    # budget, so fall through to the jnp path (XLA tiles it fine).
+    if use_pallas and v.ndim == 2 and v.shape[0] <= 1024:
         from peppa_tpu.ops.pallas.common import use_pallas as pallas_ok
 
         if pallas_ok():

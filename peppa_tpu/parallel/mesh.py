@@ -41,16 +41,57 @@ def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Place a host batch with the leading axis sharded over `axis`."""
+    """Place a host batch with the leading axis sharded over `axis`.
+
+    Single-process: `batch` is the global batch. Multi-process: `batch` is
+    this process's LOCAL slab of the global batch — every process must
+    present the same local shape at the same step (the data module's
+    `multihost_interleave` guarantees this), and the global batch is the
+    concatenation over processes (global B = process_count * local B), built
+    with `jax.make_array_from_process_local_data` so no process ever needs
+    rows it didn't load.
+    """
+    multiproc = _process_count() > 1
 
     def put(x):
         if x is None:
             return None
         x = np.asarray(x)
         spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
+
+
+def replicate_batch(batch: Any, mesh: Mesh) -> Any:
+    """Fully replicate a host batch across a (possibly multi-process) mesh.
+
+    Used for validation under multi-host: every process iterates the same
+    validation loaders, so treating those rows as process-local slabs would
+    duplicate each clip process_count times in the global batch and corrupt
+    the retrieval metrics. Replication keeps eval semantics exact.
+    """
+    multiproc = _process_count() > 1
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def _process_count() -> int:
+    from peppa_tpu.utils import dist
+
+    return dist.process_count()
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:

@@ -127,8 +127,20 @@ class EncoderService:
             lambda size, item: (size,), self._audio_fn)
 
     def embed_video(self, clips: Sequence[np.ndarray]) -> np.ndarray:
-        """(T_i, H, W, 3) float [0,1] or uint8 clips -> (N, 512) embeddings."""
-        clips = [np.asarray(x) for x in clips]
+        """(T_i, H, W, 3) float [0,1] or uint8 clips -> (N, 512) embeddings.
+
+        Clips are canonicalized to uint8 before bucketing: warmup() compiles
+        the uint8 program only, so a float request would otherwise pay an XLA
+        compile at serving time, and a bucket mixing dtypes would truncate
+        float values via astype-on-assignment into the uint8 batch slab.
+        """
+        def canon(x):
+            x = np.asarray(x)
+            if x.dtype == np.uint8:
+                return x
+            return np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
+
+        clips = [canon(x) for x in clips]
         return self._run_bucketed(
             clips, lambda x: self._video_bucket(x.shape[0]),
             lambda size, item: (size,) + item.shape[1:], self._video_fn)

@@ -195,16 +195,81 @@ def best_checkpoint_in(dirname: str, higher_better: bool = True
     return path, meta
 
 
+def _is_torch_checkpoint(path: str) -> bool:
+    """True for torch-saved (Lightning) .ckpt files: zip (torch>=1.6) or
+    legacy pickle magic — as opposed to our msgpack checkpoints."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return True
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x80\x02"
+
+
+def best_torch_checkpoint_in(dirname: str, higher_better: bool = True
+                             ) -> Tuple[str, Dict[str, Any]]:
+    """Rank reference Lightning .ckpt files by their recorded monitor score.
+
+    Parity: reference pig/evaluation.py:42-53 reads
+    cp['callbacks'][ModelCheckpoint]['best_model_score'].  The pickled class
+    key is stubbed (pytorch_lightning isn't installed), so scan the callbacks
+    dict values for the checkpoint-monitor record instead.
+    """
+    from peppa_tpu.models.convert import load_torch_checkpoint
+
+    infos = []
+    for path in glob.glob(os.path.join(dirname, "checkpoints", "*.ckpt")):
+        if not _is_torch_checkpoint(path):
+            continue
+        blob = load_torch_checkpoint(path)
+        for item in dict(blob.get("callbacks", {})).values():
+            if isinstance(item, dict) and item.get("best_model_score") is not None:
+                score = float(np.asarray(item["best_model_score"]))
+                infos.append((path, {
+                    "monitor": item.get("monitor"),
+                    "best_model_score": score,
+                    "best_model_path": item.get("best_model_path"),
+                }))
+                break
+    if not infos:
+        raise FileNotFoundError(f"No scored torch checkpoints under {dirname}")
+    infos.sort(key=lambda x: x[1]["best_model_score"], reverse=higher_better)
+    path, meta = infos[0]
+    # best_model_path was recorded on the training machine; if a same-named
+    # file exists here, prefer it (reference evaluation.py:51-52 semantics)
+    recorded = meta.get("best_model_path")
+    if recorded:
+        local = os.path.join(dirname, "checkpoints", os.path.basename(recorded))
+        if os.path.exists(local):
+            path = local
+    logging.info("Best %s: %s at %s", meta.get("monitor"),
+                 meta.get("best_model_score"), path)
+    return path, meta
+
+
 def load_best_model(dirname: str, higher_better: bool = True):
     """Rebuild the model from the best checkpoint in `dirname`.
 
     Returns (model, variables, config, checkpoint_path) — the functional
-    equivalent of reference pig/evaluation.py:42-53.
+    equivalent of reference pig/evaluation.py:42-53.  Handles BOTH our
+    msgpack checkpoints and reference-trained Lightning .ckpt dirs (the
+    latter through models/convert.py::load_peppa_checkpoint).
     """
     from peppa_tpu.config import Config
     from peppa_tpu.models.dual_encoder import PeppaPig
 
-    path, meta = best_checkpoint_in(dirname, higher_better)
+    try:
+        path, meta = best_checkpoint_in(dirname, higher_better)
+    except FileNotFoundError:
+        from peppa_tpu.models.convert import load_peppa_checkpoint
+
+        path, meta = best_torch_checkpoint_in(dirname, higher_better)
+        config = None
+        hparams_path = os.path.join(dirname, "hparams.yaml")
+        if os.path.exists(hparams_path):
+            config = Config.load(hparams_path)
+        model, variables, config, _ = load_peppa_checkpoint(path, config)
+        return model, variables, config, path
     hparams_path = os.path.join(dirname, "hparams.yaml")
     config = Config.load(hparams_path)
     params, batch_stats, _ = load_params(path)

@@ -27,7 +27,10 @@ import numpy as np
 
 from peppa_tpu.config import Config
 from peppa_tpu.models.dual_encoder import init_model
-from peppa_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch, state_shardings
+from peppa_tpu.parallel.mesh import (make_mesh, replicate_batch,
+                                     replicate_tree, shard_batch,
+                                     state_shardings)
+from peppa_tpu.utils import dist
 from peppa_tpu.training.checkpoint import CheckpointManager, next_version, save_hparams
 from peppa_tpu.training.loggers import MetricsLogger
 from peppa_tpu.training.optimization import make_optimizer
@@ -52,12 +55,38 @@ class NonFiniteLossError(RuntimeError):
     """Raised when training hits a non-finite loss (after an emergency save)."""
 
 
+class _NullLogger:
+    """No-op MetricsLogger stand-in for non-main processes (multi-host)."""
+
+    def log(self, *a, **k):  # pragma: no cover - trivial
+        pass
+
+    def close(self):  # pragma: no cover - trivial
+        pass
+
+
+class _NullCheckpointManager:
+    """No-op CheckpointManager for non-main processes (multi-host)."""
+
+    def on_validation_end(self, *a, **k):
+        pass
+
+
 class Trainer:
     def __init__(self, config: Config, log_dir: str = "lightning_logs",
                  version_dir: Optional[str] = None):
         self.config = config
-        self.version_dir = version_dir or next_version(log_dir)
-        self.logger = MetricsLogger(self.version_dir)
+        # multi-host discipline: exactly one process creates directories and
+        # writes hparams/metrics/checkpoints — unsynchronized writers would
+        # race on a shared filesystem (and even allocate different version_N)
+        self._main = dist.is_main_process()
+        if self._main:
+            self.version_dir = version_dir or next_version(log_dir)
+            self.logger = MetricsLogger(self.version_dir)
+        else:
+            self.version_dir = version_dir or os.path.join(
+                log_dir, "nonmain_process")
+            self.logger = _NullLogger()
         self.mesh = make_mesh(config.tpu.mesh_shape, config.tpu.mesh_axes)
 
     def fit(self, data, pretrained_loader=None,
@@ -67,7 +96,8 @@ class Trainer:
         equivalent (SURVEY.md §5.4)."""
         cfg = self.config
         tcfg = cfg.training
-        save_hparams(self.version_dir, cfg)
+        if self._main:
+            save_hparams(self.version_dir, cfg)
         data.prepare_data()
         data.setup()
 
@@ -100,14 +130,22 @@ class Trainer:
         eval_step = make_eval_step(model)
         step_rng = jax.random.PRNGKey(tcfg.seed + 1)
         shard_fn = lambda b: shard_batch(b, self.mesh)
-        ckpt = CheckpointManager(self.version_dir)
+        # under multi-host, every process iterates the same val loaders, so
+        # val batches must be replicated, not treated as per-process slabs
+        # (shard_batch would duplicate each clip process_count times)
+        if dist.process_count() > 1:
+            val_shard_fn = lambda b: replicate_batch(b, self.mesh)
+        else:
+            val_shard_fn = shard_fn
+        ckpt = CheckpointManager(self.version_dir) if self._main \
+            else _NullCheckpointManager()
 
         # ---- sanity validation (reference run.py:58)
         if tcfg.num_sanity_val_steps:
             logging.info("Sanity validation (%d batches)", tcfg.num_sanity_val_steps)
             with self.mesh:
                 run_validation(eval_step, state.variables, data.val_loaders(),
-                               shard_fn=shard_fn, n_samples=10,
+                               shard_fn=val_shard_fn, n_samples=10,
                                limit_batches=tcfg.num_sanity_val_steps,
                                seed=tcfg.seed)
 
@@ -123,6 +161,8 @@ class Trainer:
         timer = StepTimer(warmup_steps=2)
         profile_dir = os.environ.get("PEPPA_PROFILE_DIR")  # jax.profiler trace
         profile_steps = int(os.environ.get("PEPPA_PROFILE_STEPS", "0"))
+
+        pending = None  # (micro_step, metrics) of the previous train step
 
         while not done:
             if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
@@ -146,25 +186,18 @@ class Trainer:
                         jax.block_until_ready(metrics["train_loss"])
                         jax.profiler.stop_trace()
                         profile_dir = None
+                    # failure detection (SURVEY.md §5.3): check EVERY step's
+                    # loss for finiteness — one step late so the host never
+                    # stalls the device pipeline (the previous step's value
+                    # is already computed by the time this one is dispatched)
+                    if pending is not None:
+                        self._watchdog(float(pending[1]["train_loss"]),
+                                       pending[0], state, epoch)
+                    pending = (micro_step, metrics)
                     if micro_step % tcfg.log_every_n_steps == 0:
                         loss = float(metrics["train_loss"])
-                        # failure detection (SURVEY.md §5.3 — none in the
-                        # reference): a non-finite loss aborts with an
-                        # emergency checkpoint instead of silently training on
-                        if not np.isfinite(loss):
-                            from peppa_tpu.training.checkpoint import \
-                                save_checkpoint
-
-                            path = os.path.join(self.version_dir,
-                                                "checkpoints",
-                                                "emergency-nonfinite.ckpt")
-                            save_checkpoint(path, state, {
-                                "monitor": None, "epoch": epoch,
-                                "reason": f"non-finite loss at step "
-                                          f"{micro_step}"})
-                            raise NonFiniteLossError(
-                                f"non-finite train loss at step {micro_step};"
-                                f" state saved to {path}")
+                        self._watchdog(loss, micro_step, state, epoch)
+                        pending = None  # checked
                         self.logger.log({"train_loss": loss,
                                          **timer.metrics()},
                                         step=micro_step, epoch=epoch)
@@ -179,11 +212,15 @@ class Trainer:
                         logging.info("max_time reached, stopping")
                         done = True
                         break
+                if pending is not None:  # tail step of the epoch
+                    self._watchdog(float(pending[1]["train_loss"]),
+                                   pending[0], state, epoch)
+                    pending = None
 
                 # ---- validation + checkpoints (per epoch)
                 metrics = run_validation(
                     eval_step, state.variables, data.val_loaders(),
-                    shard_fn=shard_fn, n_samples=500,
+                    shard_fn=val_shard_fn, n_samples=500,
                     limit_batches=tcfg.limit_val_batches, seed=tcfg.seed)
             self.logger.log(metrics, step=micro_step, epoch=epoch)
             logging.info("epoch %d validation: %s", epoch,
@@ -193,3 +230,24 @@ class Trainer:
 
         self.logger.close()
         return state
+
+    def _watchdog(self, loss: float, micro_step: int, state, epoch: int) -> None:
+        """Abort on a non-finite loss with an emergency checkpoint.
+
+        No reference equivalent (SURVEY.md §5.3): Lightning would train on
+        silently. Only the main process writes the checkpoint; all processes
+        raise so a multi-host job stops everywhere.
+        """
+        if np.isfinite(loss):
+            return
+        path = os.path.join(self.version_dir, "checkpoints",
+                            "emergency-nonfinite.ckpt")
+        if self._main:
+            from peppa_tpu.training.checkpoint import save_checkpoint
+
+            save_checkpoint(path, state, {
+                "monitor": None, "epoch": epoch,
+                "reason": f"non-finite loss at step {micro_step}"})
+        raise NonFiniteLossError(
+            f"non-finite train loss at step {micro_step};"
+            f" state saved to {path}")

@@ -56,3 +56,18 @@ def test_overlong_items_clamp_to_last_bucket(service, rng):
 
 def test_warmup_compiles_all_buckets(service):
     service.warmup()  # compiles every (bucket, batch) program; must not raise
+
+
+def test_video_dtype_canonicalized_to_uint8(service, rng):
+    """Float and uint8 clips hit the SAME (uint8) compiled program: a mixed
+    bucket must not truncate floats, and floats must not trigger a serving-
+    time compile (warmup only builds the uint8 program)."""
+    u8 = rng.integers(0, 256, size=(4, 32, 32, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    emb_u8 = service.embed_video([u8])
+    emb_f32 = service.embed_video([f32])
+    np.testing.assert_allclose(emb_u8, emb_f32, atol=1e-6)
+    # mixed-dtype bucket: each row matches its solo embedding
+    mixed = service.embed_video([f32, u8])
+    np.testing.assert_allclose(mixed[0], emb_u8[0], atol=1e-5)
+    np.testing.assert_allclose(mixed[1], emb_u8[0], atol=1e-5)

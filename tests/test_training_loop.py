@@ -114,3 +114,42 @@ def test_nonfinite_loss_watchdog(tmp_path, monkeypatch):
         trainer.fit(data)
     assert os.path.exists(os.path.join(trainer.version_dir, "checkpoints",
                                        "emergency-nonfinite.ckpt"))
+
+
+def test_nonfinite_loss_watchdog_off_logging_boundary(tmp_path, monkeypatch):
+    """A NaN at a step that is NOT a logging step still aborts (every-step
+    watchdog, checked one step late to preserve device pipelining)."""
+    import numpy as np
+
+    import peppa_tpu.training.loop as L
+    import peppa_tpu.training.step as S
+    from peppa_tpu.data.datamodule import SyntheticPigData
+
+    cfg = tiny_config(tmp_path)
+    cfg.training.log_every_n_steps = 100  # never reached
+    cfg.training.limit_train_batches = 3
+    cfg.training.num_sanity_val_steps = 0
+    data = SyntheticPigData(cfg, n_train=16, n_val=8)
+    trainer = L.Trainer(cfg, log_dir=str(tmp_path / "logs"))
+
+    real = S.make_train_step
+
+    def poisoned(model, margin, donate=True):
+        step = real(model, margin, donate=donate)
+        calls = {"n": 0}
+
+        def run(state, batch, rng):
+            new_state, metrics = step(state, batch, rng)
+            calls["n"] += 1
+            if calls["n"] == 2:  # poison step 2 only (not a logging step)
+                metrics = dict(metrics)
+                metrics["train_loss"] = np.float32("nan")
+            return new_state, metrics
+
+        return run
+
+    monkeypatch.setattr(L, "make_train_step", poisoned)
+    with pytest.raises(L.NonFiniteLossError, match="step 2"):
+        trainer.fit(data)
+    assert os.path.exists(os.path.join(trainer.version_dir, "checkpoints",
+                                       "emergency-nonfinite.ckpt"))
