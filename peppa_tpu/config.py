@@ -111,6 +111,10 @@ class TPUConfig:
     remat_audio: bool = False
     bucket_durations: Sequence[float] = (2.3, 3.2, 4.0, 6.0)  # pad-to-bucket shapes
     use_pallas: bool = True  # fused Pallas kernels where available
+    # explicit shard_map global-negative loss when the data axis has >1
+    # shards (False: compiler-partitioned jnp loss; Pallas is never used
+    # on a sharded batch either way)
+    global_negative_loss: bool = True
     native_loader: bool = True  # C++ packed-cache batch loader where available
     prefetch: int = 2  # device prefetch depth
 

@@ -22,6 +22,15 @@ import jax.numpy as jnp
 from peppa_tpu.ops.similarity import cosine_matrix
 
 
+def _is_multidevice(x) -> bool:
+    """True for a concrete jax.Array placed across >1 devices (eager misuse
+    guard; tracers have no committed sharding and return False)."""
+    try:
+        return len(x.sharding.device_set) > 1
+    except Exception:
+        return False
+
+
 def contrastive(m: jnp.ndarray, margin: float = 0.2) -> jnp.ndarray:
     """Contrastive margin loss over a similarity matrix `m`.
 
@@ -52,6 +61,12 @@ def triplet_loss(v: jnp.ndarray, a: jnp.ndarray, margin: float = 0.2,
     normalize+matmul+hinge chain runs as one fused Pallas kernel
     (ops/pallas/loss.py); elsewhere the jnp path below.
     """
+    # The single-block kernel assumes the whole batch on ONE core: refuse it
+    # for concrete arrays already sharded over multiple devices (the jnp path
+    # below partitions fine). Inside jit the deciders are the step factories
+    # (training/step.py), which know the mesh.
+    if use_pallas and _is_multidevice(v):
+        use_pallas = False
     # VMEM budget: the fused kernel holds both (B_pad, D) embedding blocks
     # AND the (B_pad, B_pad) f32 score block in VMEM; past ~1024 rows the
     # score block alone (4 MB at B=1024, 64 MB at B=4096) blows the ~16 MB

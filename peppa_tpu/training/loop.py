@@ -125,9 +125,10 @@ class Trainer:
                 lambda x, s: jax.device_put(x, s), state,
                 state_shardings(state, self.mesh))
 
-        train_step = make_train_step(model, cfg.margin,
-                                     donate=cfg.tpu.donate_state)
-        eval_step = make_eval_step(model)
+        train_step = make_train_step(
+            model, cfg.margin, donate=cfg.tpu.donate_state, mesh=self.mesh,
+            use_global_negative=cfg.tpu.global_negative_loss)
+        eval_step = make_eval_step(model, mesh=self.mesh)
         step_rng = jax.random.PRNGKey(tcfg.seed + 1)
         shard_fn = lambda b: shard_batch(b, self.mesh)
         # under multi-host, every process iterates the same val loaders, so

@@ -22,12 +22,38 @@ from peppa_tpu.ops.loss import triplet_loss
 from peppa_tpu.training.state import TrainState
 
 
-def make_train_step(model, margin: float,
-                    donate: bool = True) -> Callable:
+def _data_shards(mesh, axis: str) -> int:
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get(axis, 1))
+
+
+def make_train_step(model, margin: float, donate: bool = True,
+                    mesh=None, data_axis: str = "data",
+                    use_global_negative: bool = True) -> Callable:
     """Build the jit'd training step.
 
     Returns fn(state, batch, rng) -> (state, metrics dict).
+
+    ONE distributed-loss code path: when the batch is sharded over a `mesh`
+    data axis with >1 shards, the loss is the explicit shard_map
+    global-negative formulation (parallel/contrastive.py) — the single-block
+    fused Pallas loss kernel assumes the whole batch in VMEM on one core and
+    is only used unsharded.  `use_global_negative=False` falls back to the
+    compiler-partitioned jnp loss (never the Pallas kernel) under a >1-shard
+    mesh.
     """
+    n_shards = _data_shards(mesh, data_axis)
+
+    def compute_loss(v: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+        if n_shards > 1:
+            if use_global_negative:
+                from peppa_tpu.parallel.contrastive import global_negative_loss
+
+                return global_negative_loss(v, a, mesh, margin=margin,
+                                            axis=data_axis)
+            return triplet_loss(v, a, margin=margin, use_pallas=False)
+        return triplet_loss(v, a, margin=margin)
 
     def step(state: TrainState, batch: ClipBatch, rng: jax.Array):
         dropout_rng, layerdrop_rng = jax.random.split(
@@ -43,7 +69,7 @@ def make_train_step(model, margin: float,
                 variables, batch, train=True,
                 rngs={"dropout": dropout_rng, "layerdrop": layerdrop_rng},
                 mutable=mutable)
-            loss = triplet_loss(out.video, out.audio, margin=margin)
+            loss = compute_loss(out.video, out.audio)
             return loss, mut.get("batch_stats", state.batch_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -55,16 +81,19 @@ def make_train_step(model, margin: float,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, mesh=None, data_axis: str = "data") -> Callable:
     """jit'd embedding step: ClipBatch -> (V, A) embeddings + loss.
 
     Parity: reference pig/models.py:267-288 validation_step (embeddings and
-    loss; the epoch-end metrics live in evaluation/).
+    loss; the epoch-end metrics live in evaluation/).  Under a >1-shard data
+    mesh the loss uses the compiler-partitioned jnp path — the Pallas kernel
+    is single-core.
     """
+    sharded = _data_shards(mesh, data_axis) > 1
 
     def step(variables, batch: ClipBatch):
         out = model.apply(variables, batch, train=False)
-        loss = triplet_loss(out.video, out.audio)
+        loss = triplet_loss(out.video, out.audio, use_pallas=not sharded)
         return out.video, out.audio, loss
 
     return jax.jit(step)

@@ -98,8 +98,8 @@ def test_nonfinite_loss_watchdog(tmp_path, monkeypatch):
 
     real = S.make_train_step
 
-    def poisoned(model, margin, donate=True):
-        step = real(model, margin, donate=donate)
+    def poisoned(model, margin, donate=True, **kw):
+        step = real(model, margin, donate=donate, **kw)
 
         def run(state, batch, rng):
             new_state, metrics = step(state, batch, rng)
@@ -134,8 +134,8 @@ def test_nonfinite_loss_watchdog_off_logging_boundary(tmp_path, monkeypatch):
 
     real = S.make_train_step
 
-    def poisoned(model, margin, donate=True):
-        step = real(model, margin, donate=donate)
+    def poisoned(model, margin, donate=True, **kw):
+        step = real(model, margin, donate=donate, **kw)
         calls = {"n": 0}
 
         def run(state, batch, rng):
