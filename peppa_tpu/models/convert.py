@@ -244,6 +244,89 @@ def convert_resnet18(state: Dict[str, Any]):
     return params, stats
 
 
+# --------------------------------------------------- midplane widening
+
+def widen_midplanes(params: Dict[str, Any], stats: Dict[str, Any],
+                    multiple: int) -> tuple:
+    """Adapt converted r2plus1d weights to `midplanes_multiple=multiple`.
+
+    The MXU-friendly variant rounds every block's (2+1)D mid width M up to a
+    multiple of 128 (video3d.py::midplanes) — 23% faster video trunk — but
+    changes weight shapes, which used to break Kinetics import.  Zero-padding
+    the mid-channel dimension is EXACT: padded spatial-conv output channels
+    are identically zero, BN with (mean=0, var=1, scale=1, bias=0) keeps them
+    zero through the ReLU, and zero temporal-conv input slices contribute
+    nothing — so the widened model computes the same function as the
+    pretrained original (verified in tests/test_convert.py), while the new
+    channels remain trainable for fine-tuning.
+
+    Blocks whose rounded width SHRINKS (e.g. 144 -> 128 — precisely where the
+    lane savings come from) instead drop the lowest-importance mid channels,
+    importance_j = ||spatial[..., j]|| * |bn_gain_j| * ||temporal[j, :]||.
+    That path is approximate (the ReLU between the factorized convs blocks an
+    exact rank reduction); channels a pretrained net barely uses carry tiny
+    importance, and fine-tuning recovers the rest — verified by activation
+    agreement in tests/test_convert.py.
+
+    Takes/returns (params, stats) trees in convert_video_resnet layout.
+    """
+    from peppa_tpu.models.video3d import midplanes as mid_of
+
+    params = _deep_copy_tree(params)
+    stats = _deep_copy_tree(stats)
+    widths = {1: (64, 64), 2: (64, 128), 3: (128, 256), 4: (256, 512)}
+    for li in range(1, 5):
+        for bi in range(2):
+            name = f"layer{li}_block{bi}"
+            if name not in params or "spatial" not in params[name].get(
+                    "conv1", {}):
+                continue  # not an r2plus1d tree
+            c_in = widths[li][0] if bi == 0 else widths[li][1]
+            c_out = widths[li][1]
+            m_new = mid_of(c_in, c_out, multiple)
+            # torchvision computes midplanes once per block and reuses it for
+            # conv2, so both convs adapt to the same m_new
+            for conv in ("conv1", "conv2"):
+                blk = params[name][conv]
+                bnp = blk["bn_mid"]["bn"]
+                bns = stats[name][conv]["bn_mid"]["bn"]
+                m_old = blk["spatial"]["kernel"].shape[-1]
+                if m_old == m_new:
+                    continue
+                if m_new > m_old:  # exact: zero-pad the mid dimension
+                    pad = m_new - m_old
+                    blk["spatial"]["kernel"] = np.pad(
+                        blk["spatial"]["kernel"], [(0, 0)] * 4 + [(0, pad)])
+                    blk["temporal"]["kernel"] = np.pad(
+                        blk["temporal"]["kernel"],
+                        [(0, 0)] * 3 + [(0, pad), (0, 0)])
+                    bnp["scale"] = np.pad(bnp["scale"], (0, pad),
+                                          constant_values=1.0)
+                    bnp["bias"] = np.pad(bnp["bias"], (0, pad))
+                    bns["mean"] = np.pad(bns["mean"], (0, pad))
+                    bns["var"] = np.pad(bns["var"], (0, pad),
+                                        constant_values=1.0)
+                else:  # approximate: keep the m_new most important channels
+                    spatial = np.asarray(blk["spatial"]["kernel"])
+                    temporal = np.asarray(blk["temporal"]["kernel"])
+                    gain = np.abs(np.asarray(bnp["scale"])) / np.sqrt(
+                        np.asarray(bns["var"]) + 1e-5)
+                    importance = (
+                        np.linalg.norm(spatial.reshape(-1, m_old), axis=0)
+                        * gain
+                        * np.linalg.norm(
+                            temporal.transpose(3, 0, 1, 2, 4)
+                            .reshape(m_old, -1), axis=1))
+                    keep = np.sort(np.argsort(importance)[-m_new:])
+                    blk["spatial"]["kernel"] = spatial[..., keep]
+                    blk["temporal"]["kernel"] = temporal[:, :, :, keep, :]
+                    bnp["scale"] = np.asarray(bnp["scale"])[keep]
+                    bnp["bias"] = np.asarray(bnp["bias"])[keep]
+                    bns["mean"] = np.asarray(bns["mean"])[keep]
+                    bns["var"] = np.asarray(bns["var"])[keep]
+    return params, stats
+
+
 # ------------------------------------------- trained PeppaPig checkpoints
 
 def _tolerant_pickle_module():
@@ -407,6 +490,9 @@ def convert_peppa_state_dict(state: Dict[str, Any], config
     else:
         v["trunk"], vs["trunk"] = convert_video_resnet(
             sub("video_encoder.video."), config.video.version)
+        if config.video.midplanes_multiple:
+            v["trunk"], vs["trunk"] = widen_midplanes(
+                v["trunk"], vs["trunk"], config.video.midplanes_multiple)
         if config.video.pooling == "attention":
             v["VideoAttentionPool_0"] = {"attn": _attention_pool(
                 state, "video_encoder.videopool.attn.")}
@@ -506,12 +592,16 @@ def _merge_check(dst: Dict[str, Any], src: Dict[str, Any], scope: str) -> None:
 
 
 def load_video_pretrained(path: str, variables: Dict[str, Any], version: str,
-                          scope: str = "video_encoder") -> Dict[str, Any]:
+                          scope: str = "video_encoder",
+                          midplanes_multiple: Optional[int] = None
+                          ) -> Dict[str, Any]:
     state = _load_torch(path)
     if version == "static":
         p, s = convert_resnet18(state)
     else:
         p, s = convert_video_resnet(state, version)
+        if midplanes_multiple:
+            p, s = widen_midplanes(p, s, midplanes_multiple)
     out_params = dict(variables["params"])
     enc = dict(out_params[scope])
     trunk = dict(enc["trunk"])
@@ -567,7 +657,9 @@ def pretrained_loader_from_config(config) -> Optional[Callable]:
             path = os.path.join(config.data.data_dir, "in", f"{version}.pth")
             if os.path.exists(path):
                 logging.info("Loading pretrained video weights from %s", path)
-                variables = load_video_pretrained(path, variables, version)
+                variables = load_video_pretrained(
+                    path, variables, version,
+                    midplanes_multiple=config.video.midplanes_multiple)
             else:
                 logging.warning("video.pretrained=True but %s not found; "
                                 "keeping random init", path)

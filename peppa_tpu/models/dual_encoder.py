@@ -70,10 +70,9 @@ class PeppaPig(nn.Module):
             # reference pig/models.py:140: kinetics stats if pretrained else peppa
             norm = "kinetics" if cfg.video.pretrained else "peppa"
             mean, std = resolve_stats(norm, cfg.data.data_dir)
-            if cfg.video.midplanes_multiple and cfg.video.pretrained:
-                raise ValueError(
-                    "video.midplanes_multiple changes weight shapes and is "
-                    "incompatible with video.pretrained=True")
+            # midplanes_multiple widens the (2+1)D mid channels; pretrained
+            # Kinetics weights are adapted exactly by zero-padding at import
+            # (models/convert.py::widen_midplanes)
             self.video_encoder = video3d_cls(
                 version=cfg.video.version,
                 pooling=cfg.video.pooling,

@@ -210,6 +210,78 @@ class TorchBasicBlock3D(tnn.Module):
         return self.relu(out + identity)
 
 
+def _r21_block_variables(rng, key, midplanes_multiple, x):
+    import jax
+
+    from peppa_tpu.models.video3d import BasicBlock, Conv2Plus1D
+
+    blk = BasicBlock(64, 64, Conv2Plus1D, 1,
+                     midplanes_multiple=midplanes_multiple)
+    v = blk.init(jax.random.PRNGKey(key), x, False)
+    # randomize BN params/stats so stat slicing/padding is exercised
+    params = jax.tree.map(
+        lambda a: np.asarray(a, np.float32).copy(), v["params"])
+    stats = jax.tree.map(
+        lambda a: (np.asarray(a) + rng.uniform(0.1, 0.5, np.shape(a)))
+        .astype(np.float32), v["batch_stats"])
+    return blk, params, stats
+
+
+def test_widen_midplanes_pad_is_exact(rng):
+    """Blocks whose rounded mid width GROWS are zero-padded: the adapted
+    weights compute the identical function (pretrained init preserved)."""
+    import jax
+    import jax.numpy as jnp
+
+    from peppa_tpu.models.convert import widen_midplanes
+    from peppa_tpu.models.video3d import BasicBlock, Conv2Plus1D, midplanes
+
+    assert midplanes(64, 64) == 144 and midplanes(64, 64, 256) == 256
+    x = jnp.asarray(rng.uniform(size=(1, 4, 10, 10, 64)).astype(np.float32))
+    narrow, params, stats = _r21_block_variables(rng, 0, None, x)
+    want = narrow.apply({"params": params, "batch_stats": stats}, x, False)
+
+    tree_p, tree_s = widen_midplanes({"layer1_block0": params},
+                                     {"layer1_block0": stats}, 256)
+    wide = BasicBlock(64, 64, Conv2Plus1D, 1, midplanes_multiple=256)
+    got = wide.apply({"params": tree_p["layer1_block0"],
+                      "batch_stats": tree_s["layer1_block0"]}, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_widen_midplanes_shrink_drops_weak_channels(rng):
+    """Blocks whose rounded mid width SHRINKS (144 -> 128 at multiple=128)
+    drop the lowest-importance channels; channels contributing nothing are
+    the ones removed, so the function is preserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from peppa_tpu.models.convert import widen_midplanes
+    from peppa_tpu.models.video3d import BasicBlock, Conv2Plus1D, midplanes
+
+    assert midplanes(64, 64, 128) == 128
+    x = jnp.asarray(rng.uniform(size=(1, 4, 10, 10, 64)).astype(np.float32))
+    narrow, params, stats = _r21_block_variables(rng, 1, None, x)
+    # make 16 channels per conv contribute exactly zero: zero spatial kernel
+    # (=> zero importance) and negative BN output (ReLU kills the constant)
+    for conv in ("conv1", "conv2"):
+        dead = rng.choice(144, size=16, replace=False)
+        params[conv]["spatial"]["kernel"][..., dead] = 0.0
+        params[conv]["bn_mid"]["bn"]["bias"][dead] = -1.0
+        stats[conv]["bn_mid"]["bn"]["mean"][dead] = 0.0
+    want = narrow.apply({"params": params, "batch_stats": stats}, x, False)
+
+    tree_p, tree_s = widen_midplanes({"layer1_block0": params},
+                                     {"layer1_block0": stats}, 128)
+    assert tree_p["layer1_block0"]["conv1"]["spatial"]["kernel"].shape[-1] == 128
+    shrunk = BasicBlock(64, 64, Conv2Plus1D, 1, midplanes_multiple=128)
+    got = shrunk.apply({"params": tree_p["layer1_block0"],
+                        "batch_stats": tree_s["layer1_block0"]}, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_video_resnet_block_parity(rng):
     from peppa_tpu.models.convert import conv3d, _bn
     from peppa_tpu.models.video3d import BasicBlock, Conv3DSimple
