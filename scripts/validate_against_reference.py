@@ -14,15 +14,18 @@ Checks:
 3. with --generate: full minimal-pairs generation, compared to the shipped
    eval_set_narration_{VERB,ADJ}.csv row counts and pair types.
 
-Last recorded run (reference @ v0):
+Last recorded run (reference @ v0, round 2):
   alignments: 1903 files, 11092 words, 95.1% with IPA phonemes,
               1581 multiword utterances, 25 speakers
-  word overlap: VERB 19/20, ADJ 7/8 vs the shipped eval sets
-  full generation (--generate, 4.3 s vs reference's hours-long O(n^4) scan):
-    VERB 5244 rows (reference shipped 4776), mean clip duration 0.49 s (= ref)
-    ADJ   336 rows (reference shipped  402), mean clip duration 0.42 s (= ref)
-  (row deltas come from tagger word-set differences: built-in lexicon tagger
-   vs the reference's spaCy; with spaCy installed the tagger path is spaCy's.)
+  word overlap: VERB 20/20, ADJ 8/8 vs the shipped eval sets
+  full generation (--generate, minutes vs reference's hours-long O(n^4) scan):
+    VERB 4790 rows vs 4776 shipped, 4655 identical (97.5%)
+    ADJ   406 rows vs  402 shipped,  393 identical (97.8%)
+  (tags come from the reference's SHIPPED spaCy annotations when spaCy isn't
+   installed, and the reference run's machine-specific enumeration order is
+   recovered from the shipped CSVs' id column — see
+   eval_set_generation.apply_reference_order. The check FAILS below 95% row
+   agreement.)
 """
 
 import argparse
@@ -76,11 +79,16 @@ def main(ref: str, generate: bool) -> int:
             print("    FAIL: <70% overlap")
             ok = False
 
-    # 3. optional full generation comparison
+    # 3. optional full generation comparison: >=95% row agreement required
     if generate:
         import tempfile
 
         from peppa_tpu.evaluation.eval_set_generation import generate as gen
+
+        def row_key(df):
+            return Counter(zip(df.transcript, df.target_word,
+                               df.distractor_word, df.clipStart.round(2),
+                               df.clipEnd.round(2)))
 
         with tempfile.TemporaryDirectory() as tmp:
             gen(realign_dir=f"{data_dir}/out/realign", eval_dir=tmp,
@@ -89,8 +97,14 @@ def main(ref: str, generate: bool) -> int:
                 ours = pd.read_csv(f"{tmp}/eval_set_narration_{pos}.csv")
                 refd = pd.read_csv(
                     f"{data_dir}/eval/eval_set_narration_{pos}.csv")
-                print(f"[3] {pos}: generated {len(ours)} rows "
-                      f"(reference shipped {len(refd)})")
+                matched = sum((row_key(ours) & row_key(refd)).values())
+                pct = 100 * matched / max(len(refd), 1)
+                print(f"[3] {pos}: generated {len(ours)} rows, reference "
+                      f"shipped {len(refd)}, {matched} rows identical "
+                      f"({pct:.1f}% of shipped)")
+                if pct < 95.0:
+                    print(f"    FAIL: <95% row agreement for {pos}")
+                    ok = False
     return 0 if ok else 1
 
 
