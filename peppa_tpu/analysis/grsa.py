@@ -265,6 +265,30 @@ def sentence_transformer_embedder() -> Optional[Callable]:
         return None
 
 
+def corpus_text_embedder(data_dir: str = "data") -> Optional[Callable]:
+    """Embedder over PPMI-SVD vectors trained on the realigned transcripts.
+
+    Real distributional semantics for exactly the vocabulary GRSA probes
+    (analysis/embeddings.py), replacing the semantics-free hashing fallback
+    when no GloVe/SentenceTransformer files are present.
+    """
+    from peppa_tpu.analysis.embeddings import corpus_word_vectors
+
+    vectors = corpus_word_vectors(data_dir)
+    if not vectors:
+        return None
+    dim = len(next(iter(vectors.values())))
+    zero = np.zeros(dim, np.float32)
+
+    def embed(text: str) -> np.ndarray:
+        toks = [w for w in text.lower().replace(",", " ").replace(".", " ")
+                .replace("!", " ").replace("?", " ").split() if w]
+        vs = [vectors.get(w, zero) for w in toks]
+        return np.sum(vs, axis=0) if vs else zero.copy()
+
+    return embed
+
+
 def make_text_embedder(kind: str = "auto", data_dir: str = "data") -> Callable:
     if kind in ("st", "auto"):
         st = sentence_transformer_embedder()
@@ -278,6 +302,13 @@ def make_text_embedder(kind: str = "auto", data_dir: str = "data") -> Callable:
             return gl
         if kind == "glove":
             raise RuntimeError("no local GloVe vectors found")
+    if kind in ("corpus", "auto"):
+        ce = corpus_text_embedder(data_dir=data_dir)
+        if ce is not None:
+            logging.info("using corpus-trained PPMI-SVD word vectors")
+            return ce
+        if kind == "corpus":
+            raise RuntimeError("no realign corpus to train vectors on")
     logging.warning("falling back to hashing text embedder")
     return hashing_text_embedder()
 

@@ -163,6 +163,38 @@ def unpairwise_ols(rawdata: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out)
 
 
+def correlation_table(rawdata: pd.DataFrame, fragment_type: str,
+                      results_dir: str = "results") -> pd.DataFrame:
+    """results/rsa_{fragment}_correlations.{csv,tex}: Pearson correlation
+    matrix over the pairwise-similarity covariates.
+
+    Artifact parity with the reference's shipped
+    results/rsa_dialog_correlations.csv (no generating code ships with the
+    reference — the artifact predates its semsim rename, so the
+    text-similarity column keeps the shipped name 'glovesim').
+    """
+    sub = rawdata
+    if "fragment_type" in rawdata.columns:
+        sub = rawdata[rawdata.fragment_type == fragment_type]
+    elif "dialog" in rawdata.columns:
+        sub = rawdata[rawdata.dialog == (fragment_type == "dialog")]
+    cols = ["samespeaker", "sameepisode", "sametype", "semsim", "distance",
+            "durationdiff", "sim_0", "sim_1", "sim_2"]
+    avail = [c for c in cols if c in sub.columns]
+    mat = sub[avail].astype(float).corr()
+    mat = mat.rename(index={"semsim": "glovesim"},
+                     columns={"semsim": "glovesim"})
+    os.makedirs(results_dir, exist_ok=True)
+    path = os.path.join(results_dir, f"rsa_{fragment_type}_correlations")
+    mat.to_csv(path + ".csv")
+    try:
+        with open(path + ".tex", "w") as f:
+            f.write(mat.style.format(precision=3).to_latex())
+    except Exception:  # older pandas without Styler.to_latex
+        pass
+    return mat
+
+
 def main(pairwise_csv: str = "data/out/pairwise_similarities.csv",
          results_dir: str = "results") -> pd.DataFrame:
     """Per-condition OLS coefficient tables + plots (pig/stats.py:154-182)."""
@@ -197,6 +229,8 @@ def main(pairwise_csv: str = "data/out/pairwise_similarities.csv",
         for fragment_type in ("dialog", "narration"):
             plot_coef(tables, fragment_type, multiword,
                       results_dir=results_dir)
+    for fragment_type in ("dialog", "narration"):
+        correlation_table(rawdata, fragment_type, results_dir=results_dir)
     return tables
 
 

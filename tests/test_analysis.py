@@ -171,3 +171,113 @@ def test_unpairwise_data_records(rng):
     assert {"sametype", "samespeaker", "sameepisode", "durationdiff",
             "durationsum", "distance", "semsim", "sim_1", "sim_2"} <= set(r)
     assert -1.001 <= r["sim_2"] <= 1.001
+
+
+# -------------------------------------------------- corpus word vectors
+
+def test_ppmi_svd_vectors_capture_distribution():
+    """Words sharing contexts embed closer than words that never do —
+    real distributional semantics, unlike the hashing fallback."""
+    from peppa_tpu.analysis.embeddings import train_ppmi_svd
+
+    corpus = []
+    for pet in ("cat", "dog"):
+        corpus += [[pet, "chases", "the", "ball"],
+                   ["the", pet, "eats", "food"],
+                   ["a", pet, "sleeps", "here"]] * 5
+    corpus += [["the", "table", "stands", "in", "the", "room"],
+               ["a", "table", "holds", "plates"],
+               ["the", "room", "has", "a", "table"]] * 5
+    vecs = train_ppmi_svd(corpus, dim=16, min_count=2)
+    cos = lambda a, b: float(np.dot(vecs[a], vecs[b]))
+    assert cos("cat", "dog") > cos("cat", "table")
+    assert cos("cat", "dog") > cos("dog", "room")
+    # deterministic
+    vecs2 = train_ppmi_svd(corpus, dim=16, min_count=2)
+    np.testing.assert_allclose(vecs["cat"], vecs2["cat"], atol=1e-6)
+
+
+def test_vectors_save_load_roundtrip(tmp_path):
+    from peppa_tpu.analysis.embeddings import (load_vectors, save_vectors,
+                                               train_ppmi_svd)
+
+    vecs = train_ppmi_svd([["a", "b", "c"], ["a", "c", "b"]] * 5,
+                          dim=4, min_count=1)
+    path = str(tmp_path / "v.npz")
+    save_vectors(path, vecs)
+    back = load_vectors(path)
+    assert set(back) == set(vecs)
+    np.testing.assert_allclose(back["a"], vecs["a"], atol=1e-7)
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/data/out/realign"),
+                    reason="reference checkout not present")
+def test_corpus_vectors_on_reference_transcripts(tmp_path):
+    """Vectors trained on the reference's shipped transcripts cover the
+    eval vocabulary and show non-degenerate semantics (character names
+    cluster against random non-name words)."""
+    from peppa_tpu.analysis.embeddings import corpus_sentences, train_ppmi_svd
+
+    sentences = corpus_sentences("/root/reference/data")
+    assert len(sentences) > 1000
+    vecs = train_ppmi_svd(sentences, dim=64)
+    eval_words = ["play", "jump", "catch", "love", "big", "little", "muddy",
+                  "happy", "peppa", "george", "mummy", "daddy"]
+    assert all(w in vecs for w in eval_words)
+    names = ["peppa", "george", "suzy", "danny", "rebecca"]
+    others = ["puddle", "garden", "ball", "house", "water"]
+    cos = lambda a, b: float(np.dot(vecs[a], vecs[b]))
+    name_sims = [cos(a, b) for i, a in enumerate(names)
+                 for b in names[i + 1:]]
+    cross_sims = [cos(a, b) for a in names for b in others]
+    assert np.mean(name_sims) > np.mean(cross_sims)
+
+
+def test_corpus_text_embedder_plugs_into_grsa(tmp_path):
+    """make_text_embedder('corpus') returns real vectors when a realign
+    corpus exists under data_dir."""
+    import shutil
+
+    from peppa_tpu.analysis.grsa import make_text_embedder
+
+    if not os.path.exists("/root/reference/data/out/realign"):
+        pytest.skip("reference checkout not present")
+    data_dir = str(tmp_path / "data")
+    os.makedirs(os.path.join(data_dir, "out"), exist_ok=True)
+    shutil.copytree("/root/reference/data/out/realign",
+                    os.path.join(data_dir, "out", "realign"))
+    embed = make_text_embedder("corpus", data_dir=data_dir)
+    a, b = embed("muddy puddle"), embed("muddy puddles")
+    assert np.linalg.norm(a) > 0
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.5  # shared word dominates: related phrases are close
+    # cache was written for reuse
+    assert os.path.exists(os.path.join(data_dir, "out", "word_vectors.npz"))
+
+
+def test_rsa_correlations_artifact_shape(tmp_path, rng):
+    """correlation_table writes rsa_{fragment}_correlations.csv with the
+    reference artifact's column family (results/rsa_dialog_correlations.csv)."""
+    from peppa_tpu.analysis.stats import correlation_table
+
+    n = 40
+    df = pd.DataFrame({
+        "fragment_type": ["dialog"] * n,
+        "samespeaker": rng.integers(0, 2, n).astype(float),
+        "sameepisode": rng.integers(0, 2, n).astype(float),
+        "sametype": rng.integers(0, 2, n).astype(float),
+        "semsim": rng.normal(size=n),
+        "distance": rng.uniform(size=n),
+        "durationdiff": rng.uniform(size=n),
+        "sim_0": rng.normal(size=n),
+        "sim_1": rng.normal(size=n),
+        "sim_2": rng.normal(size=n),
+    })
+    mat = correlation_table(df, "dialog", results_dir=str(tmp_path))
+    out = pd.read_csv(tmp_path / "rsa_dialog_correlations.csv", index_col=0)
+    assert np.allclose(np.diag(out.to_numpy()), 1.0)
+    ref_csv = "/root/reference/results/rsa_dialog_correlations.csv"
+    if os.path.exists(ref_csv):
+        ref = pd.read_csv(ref_csv, index_col=0)
+        assert list(out.columns) == list(ref.columns)
+        assert list(out.index) == list(ref.index)
