@@ -114,12 +114,18 @@ class Trainer:
                             freeze_encoder_layers=cfg.audio.freeze_encoder_layers,
                             params=variables["params"])
         state = TrainState.create(variables, tx)
+        start_epoch = 0
         if resume_from is not None:
             from peppa_tpu.training.checkpoint import load_checkpoint
 
             state, meta = load_checkpoint(resume_from, state)
-            logging.info("Resumed from %s at step %s", resume_from,
-                         int(np.asarray(state.step)))
+            # resume the EPOCH counter too: the train stream is a function of
+            # (seed, epoch), so an epoch-aligned restart replays exactly the
+            # batches a continuous run would have seen (bit-identical losses)
+            if isinstance(meta.get("epoch"), int):
+                start_epoch = meta["epoch"] + 1
+            logging.info("Resumed from %s at step %s (epoch %d)", resume_from,
+                         int(np.asarray(state.step)), start_epoch)
         with self.mesh:
             state = jax.tree.map(
                 lambda x, s: jax.device_put(x, s), state,
@@ -157,7 +163,7 @@ class Trainer:
         accum = max(tcfg.accumulate_grad_batches, 1)
         start = time.time()
         micro_step = int(np.asarray(state.step))  # nonzero after resume
-        epoch = 0
+        epoch = start_epoch
         done = False
         timer = StepTimer(warmup_steps=2)
         profile_dir = os.environ.get("PEPPA_PROFILE_DIR")  # jax.profiler trace

@@ -9,10 +9,21 @@ from peppa_tpu.training.optimization import make_optimizer
 from peppa_tpu.training.state import TrainState
 from peppa_tpu.ops.loss import triplet_loss
 
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/peppa_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 K = 4
 frames, samples = 23, 101430
 cfg = default_config(); cfg.training.precision = 'bf16'
+if os.environ.get('TP_MIDPLANES'):
+    cfg.video.midplanes_multiple = int(os.environ['TP_MIDPLANES'])
+if os.environ.get('TP_REMAT'):
+    cfg.tpu.remat_video = cfg.tpu.remat_audio = True
 model, variables = init_model(cfg, jax.random.PRNGKey(0),
                               audio_samples=samples, video_frames=frames)
 tx = make_optimizer(cfg.optimizer, accumulate_grad_batches=1,

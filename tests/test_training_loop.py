@@ -82,6 +82,45 @@ def test_trainer_end_to_end(tmp_path):
     assert "metrics" in meta
 
 
+@pytest.mark.slow
+def test_resume_is_bit_identical(tmp_path):
+    """Epoch-aligned resume: restarting from last.ckpt replays exactly the
+    losses a continuous run produces (same data stream, same rng folding)."""
+    import csv
+
+    from peppa_tpu.data.datamodule import SyntheticPigData
+    from peppa_tpu.training.loop import Trainer
+
+    def losses(version_dir):
+        out = {}
+        with open(os.path.join(version_dir, "metrics.csv")) as f:
+            for row in csv.DictReader(f):
+                if row.get("train_loss"):
+                    out[int(row["step"])] = float(row["train_loss"])
+        return out
+
+    def make(tag, max_epochs, resume_from=None):
+        cfg = tiny_config(tmp_path)
+        cfg.training.max_epochs = max_epochs
+        cfg.training.num_sanity_val_steps = 0
+        cfg.training.limit_train_batches = 3
+        cfg.training.limit_val_batches = 1
+        data = SyntheticPigData(cfg, n_train=12, n_val=8)
+        tr = Trainer(cfg, log_dir=str(tmp_path / tag))
+        tr.fit(data, resume_from=resume_from)
+        return tr.version_dir
+
+    continuous = losses(make("a", max_epochs=2))
+    first = make("b", max_epochs=1)
+    resumed = losses(make("c", max_epochs=2, resume_from=os.path.join(
+        first, "checkpoints", "last.ckpt")))
+    # epoch-1 steps (4..6 with 3 batches/epoch) must match bit for bit
+    epoch1 = {s: v for s, v in continuous.items() if s > 3}
+    assert epoch1, continuous
+    for step, want in epoch1.items():
+        assert resumed.get(step) == want, (step, resumed.get(step), want)
+
+
 def test_nonfinite_loss_watchdog(tmp_path, monkeypatch):
     """A NaN loss aborts with an emergency checkpoint (failure detection)."""
     import numpy as np
