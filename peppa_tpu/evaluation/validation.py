@@ -70,6 +70,16 @@ def run_validation(eval_step: Callable, variables, val_loaders: List[Iterable],
         eff_size = min(size, n)
         if n == 0:
             continue
+        if eff_size < size:
+            # the reference's val_rec_fixed is recall@10 over resampled sets
+            # of EXACTLY `size`=100 (pig/models.py:297); with a smaller val
+            # set the number under the same name has a different chance level
+            # (10/eff_size) — say so rather than silently changing meaning
+            logging.warning(
+                "%s_rec_fixed: only %d val clips (<%d); metric is "
+                "recall@10-of-%d (chance %.2f), not the reference's "
+                "recall@10-of-%d", name, n, size, eff_size,
+                min(10 / eff_size, 1.0), size)
         rec = resampled_recall(enc["video"], enc["audio"], key,
                                size=eff_size, n_samples=n_samples, n=10)
         metrics[f"{name}_rec_fixed"] = float(np.mean(np.asarray(rec)))

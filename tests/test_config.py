@@ -90,3 +90,22 @@ def test_match_conditions_roundtrip(tmp_path):
     runs = match_conditions(log_dir)
     for i, name in enumerate(conditions()):
         assert runs[name] == [i], f"{name}: {runs[name]}"
+
+
+import glob as _glob
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not _glob.glob("/root/reference/lightning_logs/*/hparams.yaml"),
+                     reason="reference checkout not present")
+def test_all_shipped_run_hparams_load():
+    """Every hparams.yaml the reference's real training runs wrote (8 run
+    dirs ship in lightning_logs/) loads and round-trips through our Config."""
+    from peppa_tpu.config import Config
+
+    paths = sorted(_glob.glob("/root/reference/lightning_logs/*/hparams.yaml"))
+    for p in paths:
+        cfg = Config.load(p)
+        assert isinstance(cfg.to_dict(), dict)
+        assert cfg.data.train.batch_size >= 1
