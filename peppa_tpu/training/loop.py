@@ -131,6 +131,14 @@ class Trainer:
                 lambda x, s: jax.device_put(x, s), state,
                 state_shardings(state, self.mesh))
 
+        # host-side copy of the optimizer's LR schedule, for metrics.csv —
+        # BertAdam applies lr_at(step) at each (post-accumulation) update
+        # (optimization.py::bert_adam), so lr here is the value the NEXT
+        # optimizer step will use
+        from peppa_tpu.training.optimization import schedule_fn
+        lr_at = schedule_fn(cfg.optimizer.schedule, cfg.optimizer.lr,
+                            cfg.optimizer.warmup, cfg.optimizer.t_total)
+
         train_step = make_train_step(
             model, cfg.margin, donate=cfg.tpu.donate_state, mesh=self.mesh,
             use_global_negative=cfg.tpu.global_negative_loss)
@@ -205,9 +213,12 @@ class Trainer:
                         loss = float(metrics["train_loss"])
                         self._watchdog(loss, micro_step, state, epoch)
                         pending = None  # checked
-                        self.logger.log({"train_loss": loss,
-                                         **timer.metrics()},
-                                        step=micro_step, epoch=epoch)
+                        self.logger.log(
+                            {"train_loss": loss,
+                             "lr": float(np.asarray(lr_at(
+                                 np.int32(micro_step // accum)))),
+                             **timer.metrics()},
+                            step=micro_step, epoch=epoch)
                         logging.info("epoch %d step %d loss %.4f "
                                      "(%.1f clips/s)", epoch, micro_step,
                                      loss, timer.items_per_sec)

@@ -6,8 +6,11 @@ overhead cancels; inputs are generated on device per scan iteration.
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +48,24 @@ def slope_time(fn, params, n_rep=2):
     overhead = min(timed_trivial(i) for i in range(1, 6))
     return min(max(timed(1 + r, K) - overhead, 1e-9) / K
                for r in range(n_rep))
+
+
+def probe_video_mid128():
+    """Video trunk at the production midplanes_multiple=128 width."""
+    from peppa_tpu.models.video3d import VideoResNetTrunk
+
+    frames, h, w = 23, 100, 180
+    mod = VideoResNetTrunk("r2plus1d_18", jnp.bfloat16, jnp.float32,
+                           midplanes_multiple=128)
+    x0 = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), x0)
+
+    def fn(p, key):
+        x = jax.random.uniform(key, (B, frames, h, w, 3), jnp.float32)
+        return jnp.sum(mod.apply(p, x).astype(jnp.float32))
+
+    dt = slope_time(fn, params)
+    print(f"video mid128: {dt*1000:.1f} ms/batch", flush=True)
 
 
 def probe_video():
@@ -207,6 +228,61 @@ def probe_audio():
         print(f"audio {name}: {dt*1000:.1f} ms/batch", flush=True)
 
 
+def probe_audio_parts():
+    """Split the audio branch: conv extractor / pos-conv / transformer / pool.
+
+    Identifies where the measured ~36 ms (B=32) of transformer+pooling time
+    actually goes — in particular the grouped positional conv (k=128,
+    groups=16), whose FLOP count (~96 GFLOP/batch at B=32) rivals several
+    transformer layers and which grouped-conv lowering may map poorly to the
+    MXU.
+    """
+    from peppa_tpu.models.wav2vec2 import (ConvFeatureExtractor,
+                                           ConvPositionalEmbedding,
+                                           TransformerLayer, Wav2Vec2Config)
+
+    S = 101430
+    T = 316  # conv frames for S samples
+    cfg = Wav2Vec2Config()
+    dt16 = jnp.bfloat16
+
+    # conv extractor
+    mod = ConvFeatureExtractor(dt16)
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))
+
+    def fn(p, key):
+        a = jax.random.normal(key, (B, S), jnp.float32) * 0.1
+        return jnp.sum(mod.apply(p, a).astype(jnp.float32))
+
+    print(f"audio conv_extractor: {slope_time(fn, params)*1000:.1f} ms/batch",
+          flush=True)
+
+    # positional conv
+    pos = ConvPositionalEmbedding(cfg, dt16)
+    params = jax.jit(pos.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, T, cfg.embed_dim)))
+
+    def fn(p, key):
+        x = jax.random.normal(key, (B, T, cfg.embed_dim), dt16)
+        return jnp.sum(pos.apply(p, x).astype(jnp.float32))
+
+    print(f"audio pos_conv: {slope_time(fn, params)*1000:.1f} ms/batch",
+          flush=True)
+
+    # one transformer layer (x12 in the model), eval path (pallas attention)
+    layer = TransformerLayer(cfg, dt16, use_pallas=True)
+    params = layer.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, T, cfg.embed_dim)), None, True)
+
+    def fn(p, key):
+        x = jax.random.normal(key, (B, T, cfg.embed_dim), dt16)
+        return jnp.sum(layer.apply(p, x, None, True).astype(jnp.float32))
+
+    dt_layer = slope_time(fn, params)
+    print(f"audio transformer_layer: {dt_layer*1000:.2f} ms/batch "
+          f"(x12 = {dt_layer*12*1000:.1f} ms)", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "video"
     if what == "video":
@@ -215,3 +291,7 @@ if __name__ == "__main__":
         probe_video_decomposed()
     elif what == "audio":
         probe_audio()
+    elif what == "audio_parts":
+        probe_audio_parts()
+    elif what == "video_mid128":
+        probe_video_mid128()

@@ -178,7 +178,10 @@ def test_remat_matches_plain_forward(rng):
 
 
 def test_midplanes_multiple_variant(rng):
-    """MXU-aligned midplane widths: valid from-scratch, blocked w/ pretrained."""
+    """MXU-aligned midplane widths: valid from-scratch AND with pretrained
+    weights (the Kinetics import adapter convert.py::widen_midplanes maps the
+    original mid widths onto the rounded ones, so the combination that round 1
+    blocked is now the production configuration)."""
     from peppa_tpu.models.video3d import R3DEncoder, midplanes
 
     assert midplanes(64, 64) == 144
@@ -197,5 +200,8 @@ def test_midplanes_multiple_variant(rng):
     cfg = Config()
     cfg.video.midplanes_multiple = 128
     cfg.video.pretrained = True
-    with pytest.raises(ValueError):
-        init_model(cfg, jax.random.PRNGKey(0))
+    model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                  audio_samples=1600, video_frames=4)
+    k = variables["params"]["video_encoder"]["trunk"][
+        "layer1_block0"]["conv1"]["spatial"]["kernel"]
+    assert k.shape[-1] == 128  # widened shape ready for the import adapter
