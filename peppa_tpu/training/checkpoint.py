@@ -29,9 +29,14 @@ from flax import serialization
 
 
 def _to_pure(tree):
+    # jax.device_get issues copy_to_host_async for EVERY leaf before gathering
+    # any of them, so the ~700 state-leaf transfers overlap; a per-leaf
+    # np.asarray would serialize one device->host round trip per leaf, which
+    # on a remote/tunneled PJRT link turns a 2 GB state fetch into minutes.
     import jax
 
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    fetched = jax.device_get(tree)
+    return jax.tree.map(np.asarray, fetched)
 
 
 def save_checkpoint(path: str, state, meta: Dict[str, Any]) -> None:
