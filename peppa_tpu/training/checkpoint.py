@@ -21,37 +21,83 @@ import json
 import logging
 import os
 import re
-from typing import Any, Dict, Optional, Tuple
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import yaml
 from flax import serialization
 
 
-def _to_pure(tree):
-    # jax.device_get issues copy_to_host_async for EVERY leaf before gathering
-    # any of them, so the ~700 state-leaf transfers overlap; a per-leaf
-    # np.asarray would serialize one device->host round trip per leaf, which
-    # on a remote/tunneled PJRT link turns a 2 GB state fetch into minutes.
+def _start_fetch(state):
+    """Snapshot the train state as a payload tree and kick off async
+    device->host copies for every leaf.
+
+    Issuing copy_to_host_async for ALL leaves before gathering any of them
+    overlaps the ~700 per-leaf transfers; a per-leaf np.asarray would
+    serialize one device round trip per leaf, which on a remote/tunneled
+    PJRT link turns a 2 GB state fetch into minutes.  The copies are also
+    ordered by the runtime before any later mutation of the same buffers
+    (donated train steps included), so the snapshot is consistent even when
+    training continues while a background thread materializes it.
+    """
     import jax
 
-    fetched = jax.device_get(tree)
-    return jax.tree.map(np.asarray, fetched)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+    }
+    for leaf in jax.tree.leaves(payload):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            pass
+    return payload
+
+
+def _materialize(payload):
+    """Block until the async copies land; return a pure-numpy tree."""
+    import jax
+
+    return jax.tree.map(np.asarray, jax.device_get(payload))
+
+
+def _publish(blob: bytes, jobs: Sequence[Tuple[str, Dict[str, Any]]],
+             removals: Sequence[str] = ()) -> None:
+    """Write one serialized checkpoint blob to several paths.
+
+    Each path is written via tmp + os.replace (atomic, crash-safe); the
+    second and later paths hard-link the first so a 3-way save (two monitors
+    + last) costs one disk write.  Rewrites always allocate a fresh inode,
+    so shared links never see another path's later content.
+    """
+    for stale in removals:
+        for p in (stale, stale + ".json"):
+            if os.path.exists(p):
+                os.remove(p)
+    first: Optional[str] = None
+    for path, meta in jobs:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp~"
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        if first is None:
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            first = path
+        else:
+            os.link(first, tmp)
+        os.replace(tmp, path)
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=2)
 
 
 def save_checkpoint(path: str, state, meta: Dict[str, Any]) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    payload = {
-        "step": np.asarray(state.step),
-        "params": _to_pure(state.params),
-        "batch_stats": _to_pure(state.batch_stats),
-        "opt_state": _to_pure(serialization.to_state_dict(state.opt_state)),
-    }
+    payload = _materialize(_start_fetch(state))
     blob = serialization.msgpack_serialize(payload)
-    with open(path, "wb") as f:
-        f.write(blob)
-    with open(path + ".json", "w") as f:
-        json.dump(meta, f, indent=2)
+    _publish(blob, [(path, meta)])
 
 
 def load_checkpoint(path: str, state=None) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -101,23 +147,34 @@ class CheckpointMonitor:
             return True
         return score > self.best_score if self.mode == "max" else score < self.best_score
 
-    def update(self, state, metrics: Dict[str, float], epoch: int) -> Optional[str]:
+    def decide(self, metrics: Dict[str, float], epoch: int
+               ) -> Optional[Tuple[str, List[str]]]:
+        """Update best-score bookkeeping; return (new_path, stale_paths) if
+        this epoch improved the monitor, else None.  File I/O is the
+        caller's job so saves can run on a background writer in order."""
         if self.monitor not in metrics:
             return None
         score = float(metrics[self.monitor])
         if not self.improved(score):
             return None
-        # remove previous best (save_top_k=1)
-        if self.best_path and os.path.exists(self.best_path):
-            os.remove(self.best_path)
-            if os.path.exists(self.best_path + ".json"):
-                os.remove(self.best_path + ".json")
+        removals = [self.best_path] if self.best_path else []
         fname = f"epoch={epoch}-{self.monitor}={score:.2f}.ckpt"
         path = os.path.join(self.dirpath, fname)
         self.best_score = score
         self.best_path = path
-        save_checkpoint(path, state, self.meta_dict(epoch, metrics))
-        logging.info("Saved best %s=%.4f to %s", self.monitor, score, path)
+        return path, removals
+
+    def update(self, state, metrics: Dict[str, float], epoch: int) -> Optional[str]:
+        """Synchronous single-monitor save (decide + write in one call)."""
+        decision = self.decide(metrics, epoch)
+        if decision is None:
+            return None
+        path, removals = decision
+        payload = _materialize(_start_fetch(state))
+        blob = serialization.msgpack_serialize(payload)
+        _publish(blob, [(path, self.meta_dict(epoch, metrics))], removals)
+        logging.info("Saved best %s=%.4f to %s", self.monitor,
+                     self.best_score, path)
         return path
 
     def meta_dict(self, epoch: int, metrics: Dict[str, float]) -> Dict[str, Any]:
@@ -132,26 +189,69 @@ class CheckpointMonitor:
 
 
 class CheckpointManager:
-    """The reference's dual-monitor + last policy (run.py:32-55)."""
+    """The reference's dual-monitor + last policy (run.py:32-55).
+
+    TPU-native: each validation end snapshots the state ONCE (async
+    device->host copies issued inline, so donated train buffers stay
+    consistent), then a single background writer thread materializes,
+    serializes, and publishes every due file (improved monitors + last)
+    from that one snapshot — the next epoch trains while the multi-GB
+    checkpoint write streams out.  `wait()` joins and re-raises."""
 
     def __init__(self, version_dir: str,
-                 monitors: Tuple[str, ...] = ("valnarr_rec_fixed", "valnarr_triplet")):
+                 monitors: Tuple[str, ...] = ("valnarr_rec_fixed", "valnarr_triplet"),
+                 async_saves: bool = True):
         self.ckpt_dir = os.path.join(version_dir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.monitors = [CheckpointMonitor(self.ckpt_dir, m) for m in monitors]
+        self._executor = (ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="ckpt-writer")
+                          if async_saves else None)
+        self._pending: List[Future] = []
 
     def on_validation_end(self, state, metrics: Dict[str, float], epoch: int) -> None:
+        jobs: List[Tuple[str, Dict[str, Any]]] = []
+        removals: List[str] = []
         for m in self.monitors:
-            m.update(state, metrics, epoch)
+            decision = m.decide(metrics, epoch)
+            if decision is not None:
+                path, stale = decision
+                jobs.append((path, m.meta_dict(epoch, metrics)))
+                removals.extend(stale)
+                logging.info("Saving best %s=%.4f to %s", m.monitor,
+                             m.best_score, path)
         # save_last=True
-        last = os.path.join(self.ckpt_dir, "last.ckpt")
-        save_checkpoint(last, state, {
+        jobs.append((os.path.join(self.ckpt_dir, "last.ckpt"), {
             "monitor": None,
             "best_model_score": None,
             "epoch": epoch,
             "metrics": {k: float(v) for k, v in metrics.items()},
             "monitors": [m.meta_dict(epoch, metrics) for m in self.monitors],
-        })
+        }))
+        payload = _start_fetch(state)
+
+        def write() -> None:
+            blob = serialization.msgpack_serialize(_materialize(payload))
+            _publish(blob, jobs, removals)
+
+        if self._executor is None:
+            write()
+        else:
+            self._reap(block=False)
+            self._pending.append(self._executor.submit(write))
+
+    def wait(self) -> None:
+        """Join all in-flight checkpoint writes; re-raise the first failure."""
+        self._reap(block=True)
+
+    def _reap(self, block: bool) -> None:
+        still: List[Future] = []
+        for f in self._pending:
+            if block or f.done():
+                f.result()  # raises if the writer failed
+            else:
+                still.append(f)
+        self._pending = still
 
 
 def next_version(log_dir: str = "lightning_logs") -> str:

@@ -71,6 +71,9 @@ class _NullCheckpointManager:
     def on_validation_end(self, *a, **k):
         pass
 
+    def wait(self):
+        pass
+
 
 class Trainer:
     def __init__(self, config: Config, log_dir: str = "lightning_logs",
@@ -246,6 +249,7 @@ class Trainer:
             ckpt.on_validation_end(state, metrics, epoch)
             epoch += 1
 
+        ckpt.wait()  # join in-flight async checkpoint writes (re-raises)
         self.logger.close()
         return state
 

@@ -283,6 +283,46 @@ def probe_audio_parts():
           f"(x12 = {dt_layer*12*1000:.1f} ms)", flush=True)
 
 
+def probe_stem_s2d():
+    """Stem spatial conv: native (1,7,7)s(1,2,2) 3ch vs space-to-depth form.
+
+    The stem reads 3 input channels, so the MXU contraction dim is
+    7*7*3 = 147 (pads to 256, 57% lane use).  Space-to-depth(2x2) re-lays
+    the input as (50, 90, 12) and the stride-2 7-tap kernel becomes a
+    stride-1 4-tap kernel over 12 channels: contraction 4*4*12 = 192
+    (75% of 256).  An exact weight re-layout exists (zero-pad 7->8 taps,
+    fold the stride-2 phase into channels), so if this measures a real win
+    the trunk can adopt it without changing the math.
+    """
+    frames, h, w = 23, 100, 180
+
+    def native(key):
+        x = jax.random.uniform(key, (B, frames, h, w, 3), jnp.bfloat16)
+        wgt = jax.random.normal(jax.random.PRNGKey(7), (1, 7, 7, 3, 45),
+                                jnp.bfloat16) * 0.05
+        y = jax.lax.conv_general_dilated(
+            x, wgt, window_strides=(1, 2, 2), padding=[(0, 0), (3, 3), (3, 3)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y.astype(jnp.float32))
+
+    def s2d(key):
+        x = jax.random.uniform(key, (B, frames, h, w, 3), jnp.bfloat16)
+        xs = x.reshape(B, frames, h // 2, 2, w // 2, 2, 3)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            B, frames, h // 2, w // 2, 12)
+        wgt = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 4, 12, 45),
+                                jnp.bfloat16) * 0.05
+        y = jax.lax.conv_general_dilated(
+            xs, wgt, window_strides=(1, 1, 1),
+            padding=[(0, 0), (1, 2), (1, 2)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y.astype(jnp.float32))
+
+    for name, fn in (("native_177", native), ("s2d_144", s2d)):
+        dt = slope_time(lambda p, key, f=fn: f(key), ())
+        print(f"stem {name}: {dt*1000:.2f} ms/batch", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "video"
     if what == "video":
@@ -295,3 +335,5 @@ if __name__ == "__main__":
         probe_audio_parts()
     elif what == "video_mid128":
         probe_video_mid128()
+    elif what == "stem_s2d":
+        probe_stem_s2d()
