@@ -79,6 +79,8 @@ class PeppaPig(nn.Module):
                 project=cfg.video.project,
                 mean=tuple(mean), std=tuple(std),
                 dtype=dtype,
+                bn_dtype=(jnp.dtype(cfg.tpu.bn_dtype)
+                          if cfg.tpu.bn_dtype else None),
                 midplanes_multiple=cfg.video.midplanes_multiple,
                 name="video_encoder",
             )

@@ -34,17 +34,17 @@ class BasicBlock2D(nn.Module):
         out = nn.Conv(self.features, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)],
                       use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32, name="bn1")(out)
+                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
                       use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32, name="bn2")(out)
+                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
         if s != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1), strides=(s, s),
                                use_bias=False, dtype=self.dtype, name="downsample")(x)
             identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=jnp.float32,
+                                    epsilon=1e-5, dtype=self.dtype,
                                     name="bn_down")(identity)
         return nn.relu(out + identity)
 
@@ -58,7 +58,7 @@ class ResNet18Trunk(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="stem_bn")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for li, (width, stride) in enumerate(

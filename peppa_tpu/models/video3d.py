@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from peppa_tpu.models.layers import make_video_pool
@@ -34,13 +35,67 @@ def _conv(x, features: int, kernel: Tuple[int, int, int],
                    use_bias=False, dtype=dtype, name=name)(x)
 
 
+class S2DStemConv(nn.Module):
+    """Stem conv (t,7,7) stride (1,2,2) over 3 channels, in space-to-depth form.
+
+    The stem's MXU contraction dim is 7*7*3 = 147 (pads to 256: 57% lane use).
+    Re-laying the input as 2x2 blocks (H/2, W/2, 12 channels) turns the
+    stride-2 7-tap kernel into a stride-1 4-tap kernel with contraction
+    4*4*12 = 192 (75% of 256) — measured 20% faster on v5e
+    (scripts/perf_probe.py stem_s2d).  The parameter keeps the ORIGINAL
+    (t,7,7,3,F) layout (checkpoints/importers unchanged); the exact
+    re-layout below runs at apply time and is mathematically identity:
+    output o[i] = sum_k w[k] x[2i+k-3] with x[2j+p] stored at block j phase p
+    gives k = 2*dh + p - 1 for block-tap dh in 0..3 (k=-1 is a zero pad).
+    Falls back to the plain conv when H or W is odd.
+    """
+    features: int
+    t_kernel: int = 1
+    dtype: jnp.dtype = jnp.float32
+    enabled: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        t = self.t_kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (t, 7, 7, 3, self.features), jnp.float32)
+        _, _, h, wd, _ = x.shape
+        tp = t // 2
+        if not self.enabled or h % 2 or wd % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype),
+                window_strides=(1, 2, 2),
+                padding=[(tp, tp), (3, 3), (3, 3)],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        b, frames = x.shape[:2]
+        # cast before the blocking transpose: it is HBM-bound, bf16 halves it
+        xs = x.astype(self.dtype).reshape(b, frames, h // 2, 2, wd // 2, 2, 3)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, frames, h // 2, wd // 2, 12)
+        # zero-pad 7 -> 8 taps in front, split into (block tap, phase):
+        # ws[t, dh, ph, dw, pw] = w[t, 2*dh+ph-1, 2*dw+pw-1]
+        ws = jnp.pad(w, [(0, 0), (1, 0), (1, 0), (0, 0), (0, 0)])
+        ws = ws.reshape(t, 4, 2, 4, 2, 3, self.features)
+        ws = ws.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+            t, 4, 4, 12, self.features)
+        # block j ranges i-2..i+1 at the edges -> padding (2, 1)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), ws.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding=[(tp, tp), (2, 1), (2, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
 class BatchNorm(nn.Module):
     """BatchNorm3d parity: eps 1e-5, running-stat momentum 0.1 (torch).
 
-    `dtype` is the computation dtype: float32 by default; bf16 lets XLA fuse
-    the normalization into the surrounding conv/relu without f32 round trips
-    (batch statistics still accumulate acceptably at these batch sizes, and
-    eval uses running stats where the affine is exactly representable).
+    `dtype` is the computation dtype for the normalization itself; batch
+    statistics are ALWAYS accumulated in float32 (flax `_compute_stats`
+    promotes).  The encoders default this to their conv compute dtype: in
+    bf16 training that keeps the saved activations bf16 for the backward
+    pass — measured -18 ms on the R(2+1)D trunk fwd+bwd at B=32 on v5e
+    (194.4 -> 176.3 ms) with f32-identical statistics.  Pass
+    bn_dtype=float32 on a bf16 model to restore f32 round trips.
     """
     dtype: jnp.dtype = jnp.float32
 
@@ -77,7 +132,7 @@ class Conv2Plus1D(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
-    bn_dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
 
     @staticmethod
     def downsample_stride(s: int):
@@ -88,8 +143,8 @@ class Conv2Plus1D(nn.Module):
         mid = self.mid_features or midplanes(self.in_features, self.features)
         s = self.stride
         x = _conv(x, mid, (1, 3, 3), (1, s, s), self.dtype, "spatial")
-        x = BatchNorm(self.bn_dtype, name="bn_mid")(x,
-                                                    use_running_average=not train)
+        x = BatchNorm(self.bn_dtype or self.dtype, name="bn_mid")(
+            x, use_running_average=not train)
         x = nn.relu(x)
         x = _conv(x, self.features, (3, 1, 1), (s, 1, 1), self.dtype, "temporal")
         return x
@@ -102,7 +157,7 @@ class Conv3DSimple(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
-    bn_dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
 
     @staticmethod
     def downsample_stride(s: int):
@@ -121,7 +176,7 @@ class Conv3DNoTemporal(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
-    bn_dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
 
     @staticmethod
     def downsample_stride(s: int):
@@ -146,32 +201,33 @@ class BasicBlock(nn.Module):
     conv_maker: type
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
-    bn_dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
     midplanes_multiple: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
+        bnd = self.bn_dtype or self.dtype
         # torchvision computes midplanes once per block (in -> out) and uses
         # it for both convs; reproduce for weight-shape parity.
         mid = midplanes(self.in_features, self.features,
                         self.midplanes_multiple)
         out = self.conv_maker(self.features, self.in_features, self.stride,
-                              self.dtype, mid, self.bn_dtype,
+                              self.dtype, mid, bnd,
                               name="conv1")(x, train)
-        out = BatchNorm(self.bn_dtype, name="bn1")(out,
-                                                   use_running_average=not train)
+        out = BatchNorm(bnd, name="bn1")(out,
+                                         use_running_average=not train)
         out = nn.relu(out)
         out = self.conv_maker(self.features, self.features, 1,
-                              self.dtype, mid, self.bn_dtype,
+                              self.dtype, mid, bnd,
                               name="conv2")(out, train)
-        out = BatchNorm(self.bn_dtype, name="bn2")(out,
-                                                   use_running_average=not train)
+        out = BatchNorm(bnd, name="bn2")(out,
+                                         use_running_average=not train)
         if self.stride != 1 or self.in_features != self.features:
             ds = self.conv_maker.downsample_stride(self.stride)
             identity = _conv(x, self.features, (1, 1, 1), ds,
                              self.dtype, "downsample")
-            identity = BatchNorm(self.bn_dtype, name="bn_down")(
+            identity = BatchNorm(bnd, name="bn_down")(
                 identity, use_running_average=not train)
         return nn.relu(out + identity)
 
@@ -180,22 +236,25 @@ class VideoResNetTrunk(nn.Module):
     """Stem + layers1-4 of the VideoResNet family; input (B, T, H, W, 3)."""
     version: str = "r2plus1d_18"
     dtype: jnp.dtype = jnp.float32
-    bn_dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
     midplanes_multiple: Optional[int] = None
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         makers = CONV_MAKERS[self.version]
-        bn = lambda name: BatchNorm(self.bn_dtype, name=name)
+        bn = lambda name: BatchNorm(self.bn_dtype or self.dtype, name=name)
         if self.version == "r2plus1d_18":
-            x = _conv(x, 45, (1, 7, 7), (1, 2, 2), self.dtype, "stem_spatial")
+            x = S2DStemConv(45, 1, self.dtype, self.stem_s2d,
+                            name="stem_spatial")(x)
             x = bn("stem_bn1")(x, use_running_average=not train)
             x = nn.relu(x)
             x = _conv(x, 64, (3, 1, 1), (1, 1, 1), self.dtype, "stem_temporal")
             x = bn("stem_bn2")(x, use_running_average=not train)
             x = nn.relu(x)
         else:
-            x = _conv(x, 64, (3, 7, 7), (1, 2, 2), self.dtype, "stem")
+            x = S2DStemConv(64, 3, self.dtype, self.stem_s2d,
+                            name="stem")(x)
             x = bn("stem_bn")(x, use_running_average=not train)
             x = nn.relu(x)
 
@@ -225,8 +284,9 @@ class R3DEncoder(nn.Module):
     mean: Tuple[float, float, float] = (0.43216, 0.394666, 0.37645)
     std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989)
     dtype: jnp.dtype = jnp.float32
-    bn_dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
     midplanes_multiple: Optional[int] = None
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, video: jnp.ndarray,
@@ -241,7 +301,7 @@ class R3DEncoder(nn.Module):
         std = jnp.asarray(self.std, dtype=video.dtype)
         x = (video - mean) / std
         x = VideoResNetTrunk(self.version, self.dtype, self.bn_dtype,
-                             self.midplanes_multiple,
+                             self.midplanes_multiple, self.stem_s2d,
                              name="trunk")(x.astype(self.dtype), train)
         if tap == "features":
             return x

@@ -283,6 +283,103 @@ def probe_audio_parts():
           f"(x12 = {dt_layer*12*1000:.1f} ms)", flush=True)
 
 
+def probe_peak():
+    """GEMM peak scan: shapes/dtypes to calibrate the practical-peak number.
+
+    The roofline baseline (71.7 TF/s from one 8192x4096x4096 bf16 GEMM) is
+    ~36% of the v5e spec sheet (197 TF/s bf16); this scans whether any
+    shape/precision gets closer — if so, every '% of peak' claim rescales.
+    """
+    shapes = [
+        ("bf16 4096^3", (4096, 4096, 4096), jnp.bfloat16, None),
+        ("bf16 8192x4096x4096", (8192, 4096, 4096), jnp.bfloat16, None),
+        ("bf16 16384x8192x2048", (16384, 8192, 2048), jnp.bfloat16, None),
+        ("bf16 8192^3", (8192, 8192, 8192), jnp.bfloat16, None),
+        ("bf16->bf16out 8192^3", (8192, 8192, 8192), jnp.bfloat16, "bf16out"),
+        ("f32 4096^3", (4096, 4096, 4096), jnp.float32, None),
+        ("int8 8192^3", (8192, 8192, 8192), jnp.int8, None),
+    ]
+    for name, (m, k, n), dt, variant in shapes:
+        def fn(p, key, m=m, k=k, n=n, dt=dt, variant=variant):
+            if dt == jnp.int8:
+                a = jax.random.randint(key, (m, k), -127, 127, jnp.int8)
+                b = jax.random.randint(key, (k, n), -127, 127, jnp.int8)
+                c = jax.lax.dot(a, b, preferred_element_type=jnp.int32)
+                return jnp.sum(c.astype(jnp.float32))
+            a = jax.random.normal(key, (m, k), dt)
+            b = jax.random.normal(key, (k, n), dt)
+            if variant == "bf16out":
+                c = jax.lax.dot(a, b, preferred_element_type=jnp.bfloat16)
+            else:
+                c = jax.lax.dot(a, b)
+            return jnp.sum(c.astype(jnp.float32))
+
+        try:
+            dt_s = slope_time(fn, ())
+            tf = 2 * m * k * n / dt_s / 1e12
+            print(f"peak {name}: {dt_s*1000:.2f} ms -> {tf:.1f} TF/s",
+                  flush=True)
+        except Exception as e:  # OOM on big shapes: report, keep scanning
+            print(f"peak {name}: failed ({type(e).__name__})", flush=True)
+
+
+def probe_train_parts():
+    """fwd vs fwd+bwd per part, train-path settings (B=32, full shapes).
+
+    The train step measures bwd ~2.8x fwd while an ideal bwd (dgrad + wgrad,
+    each ~one fwd) is 2x — this locates the ~78 ms excess.
+    """
+    from peppa_tpu.models.video3d import VideoResNetTrunk
+    from peppa_tpu.models.wav2vec2 import (ConvFeatureExtractor,
+                                           ConvPositionalEmbedding,
+                                           TransformerLayer, Wav2Vec2Config)
+
+    S = 101430
+    T = 316
+    cfg = Wav2Vec2Config()
+    dt16 = jnp.bfloat16
+
+    def measure(name, mod, make_x, apply_fn, init_call=None):
+        init_call = init_call or (lambda m, rng, x: m.init(rng, x))
+        params = jax.jit(lambda rng, x: init_call(mod, rng, x))(
+            jax.random.PRNGKey(0), make_x(1))
+
+        def fwd(p, key):
+            x = jax.random.normal(key, make_x(B).shape, jnp.float32) * 0.1
+            return jnp.sum(apply_fn(mod, p, x).astype(jnp.float32))
+
+        def fwdbwd(p, key):
+            x = jax.random.normal(key, make_x(B).shape, jnp.float32) * 0.1
+
+            def loss(pp):
+                return jnp.sum(apply_fn(mod, pp, x).astype(jnp.float32) ** 2)
+
+            l, g = jax.value_and_grad(loss)(p)
+            return l + sum(jnp.sum(leaf.astype(jnp.float32))
+                           for leaf in jax.tree_util.tree_leaves(g))
+
+        f = slope_time(fwd, params)
+        fb = slope_time(fwdbwd, params)
+        print(f"{name}: fwd {f*1000:.1f} ms  fwd+bwd {fb*1000:.1f} ms  "
+              f"bwd/fwd {(fb-f)/f:.2f}x", flush=True)
+
+    measure("conv_extractor", ConvFeatureExtractor(dt16),
+            lambda b: jnp.zeros((b, S)),
+            lambda m, p, x: m.apply(p, x))
+    measure("pos_conv", ConvPositionalEmbedding(cfg, dt16),
+            lambda b: jnp.zeros((b, T, cfg.embed_dim)),
+            lambda m, p, x: m.apply(p, x))
+    measure("transformer_layer(xla-attn)", TransformerLayer(cfg, dt16,
+                                                            use_pallas=False),
+            lambda b: jnp.zeros((b, T, cfg.embed_dim)),
+            lambda m, p, x: m.apply(p, x, None, True),
+            lambda m, rng, x: m.init(rng, x, None, True))
+    measure("video_trunk_mid128", VideoResNetTrunk(
+        "r2plus1d_18", dt16, jnp.float32, midplanes_multiple=128),
+        lambda b: jnp.zeros((b, 23, 100, 180, 3)),
+        lambda m, p, x: m.apply(p, x, True, mutable=["batch_stats"])[0])
+
+
 def probe_stem_s2d():
     """Stem spatial conv: native (1,7,7)s(1,2,2) 3ch vs space-to-depth form.
 
@@ -337,3 +434,7 @@ if __name__ == "__main__":
         probe_video_mid128()
     elif what == "stem_s2d":
         probe_stem_s2d()
+    elif what == "train_parts":
+        probe_train_parts()
+    elif what == "peak":
+        probe_peak()

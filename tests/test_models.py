@@ -205,3 +205,75 @@ def test_midplanes_multiple_variant(rng):
     k = variables["params"]["video_encoder"]["trunk"][
         "layer1_block0"]["conv1"]["spatial"]["kernel"]
     assert k.shape[-1] == 128  # widened shape ready for the import adapter
+
+
+def test_s2d_stem_conv_is_exact():
+    rng = jax.random.PRNGKey(0)
+    """Space-to-depth stem re-layout must equal the plain stride-2 conv.
+
+    The parameter keeps the original (t,7,7,3,F) layout; the blocked form is
+    a pure re-indexing, so outputs agree to f32 rounding (video3d.S2DStemConv).
+    """
+    from peppa_tpu.models.video3d import S2DStemConv
+
+    for t, (h, w) in [(1, (12, 20)), (3, (10, 8))]:
+        x = jax.random.normal(rng, (2, 5, h, w, 3), jnp.float32)
+        on = S2DStemConv(16, t, jnp.float32, True)
+        off = S2DStemConv(16, t, jnp.float32, False)
+        params = on.init(rng, x)
+        y1 = on.apply(params, x)
+        y0 = off.apply(params, x)
+        assert y1.shape == y0.shape == (2, 5, h // 2, w // 2, 16)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=0, atol=1e-5)
+
+
+def test_s2d_stem_conv_odd_sizes_fall_back():
+    rng = jax.random.PRNGKey(1)
+    from peppa_tpu.models.video3d import S2DStemConv
+
+    x = jax.random.normal(rng, (1, 3, 11, 13, 3), jnp.float32)
+    mod = S2DStemConv(8, 1, jnp.float32, True)
+    params = mod.init(rng, x)
+    assert mod.apply(params, x).shape == (1, 3, 6, 7, 8)
+
+
+@pytest.mark.parametrize("version", ["r2plus1d_18", "r3d_18", "mc3_18"])
+def test_trunk_s2d_param_shapes_and_parity(version):
+    rng = jax.random.PRNGKey(2)
+    """stem_s2d must not change parameter shapes (checkpoints/importers) and
+    must keep trunk outputs within f32 rounding of the plain path."""
+    from peppa_tpu.models.video3d import VideoResNetTrunk
+
+    x = jax.random.normal(rng, (1, 4, 20, 24, 3), jnp.float32)
+    on = VideoResNetTrunk(version, stem_s2d=True)
+    off = VideoResNetTrunk(version, stem_s2d=False)
+    p_on = on.init(rng, x, False)
+    p_off = off.init(rng, x, False)
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, p_on, p_off))
+    y1 = np.asarray(on.apply(p_on, x, False))
+    y0 = np.asarray(off.apply(p_on, x, False))
+    scale = max(np.abs(y0).max(), 1.0)
+    np.testing.assert_allclose(y1, y0, rtol=0, atol=5e-3 * scale)
+
+
+def test_bn_dtype_follows_compute_dtype():
+    rng = jax.random.PRNGKey(3)
+    """bn_dtype=None follows the conv compute dtype (bf16 training keeps
+    backward activations bf16); explicit float32 restores f32 round trips.
+    Batch statistics are f32 either way (flax promotes reductions)."""
+    from peppa_tpu.models.video3d import VideoResNetTrunk
+
+    x = jax.random.normal(rng, (1, 4, 20, 24, 3), jnp.float32)
+    auto = VideoResNetTrunk("r2plus1d_18", jnp.bfloat16)
+    forced = VideoResNetTrunk("r2plus1d_18", jnp.bfloat16,
+                              bn_dtype=jnp.float32)
+    params = auto.init(rng, x, False)
+    y_auto = auto.apply(params, x, False)
+    y_forced = forced.apply(params, x, False)
+    assert y_auto.dtype == jnp.bfloat16
+    # identical params; difference is only normalization rounding
+    np.testing.assert_allclose(
+        np.asarray(y_auto, dtype=np.float32),
+        np.asarray(y_forced, dtype=np.float32), rtol=0.1, atol=0.5)
