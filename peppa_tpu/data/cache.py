@@ -113,7 +113,8 @@ class PackReader:
                            ).reshape(t, h, w, c)
         audio = np.frombuffer(self._mm[a_off:a_off + s * 4].tobytes(),
                               dtype=np.float32)
-        return Clip(video=video.astype(np.float32) / 255.0, audio=audio,
+        # uint8 straight through: the encoders fuse /255 on device
+        return Clip(video=video, audio=audio,
                     video_duration=vd, audio_duration=ad, index=i)
 
     def raw_video(self, i: int) -> np.ndarray:

@@ -201,8 +201,10 @@ class PeppaPigDataset:
         self._scramble_rng = np.random.default_rng(scramble_seed)
 
     def _save_item(self, i: int, item: Clip) -> None:
+        video = (item.video if item.video.dtype == np.uint8
+                 else (np.clip(item.video, 0, 1) * 255).astype(np.uint8))
         np.savez(os.path.join(self.cache_dir, f"{i}.npz"),
-                 video=(np.clip(item.video, 0, 1) * 255).astype(np.uint8),
+                 video=video,
                  audio=item.audio.astype(np.float32),
                  video_duration=np.float32(item.video_duration),
                  audio_duration=np.float32(item.audio_duration),
@@ -215,7 +217,10 @@ class PeppaPigDataset:
         if idx >= self.length:
             raise IndexError("Index out of range")
         with np.load(os.path.join(self.cache_dir, f"{idx}.npz")) as z:
-            video = z["video"].astype(np.float32) / 255.0
+            # video stays uint8 host->device (4x less transfer than f32);
+            # the encoders fuse /255 into the on-device normalization, so
+            # this is bit-identical to re-floating here (native-loader parity)
+            video = z["video"]
             audio = z["audio"]
             item = Clip(video=video, audio=audio,
                         video_duration=float(z["video_duration"]),

@@ -19,9 +19,13 @@ def compute_stats(dataset: Iterable[Clip]) -> Stats:
     video_count = 0.0
     audio_sum = 0.0
     audio_count = 0.0
+    def as_float(v: np.ndarray) -> np.ndarray:
+        # cached/native clips ship uint8; stats are defined on [0, 1] floats
+        return v.astype(np.float32) / 255.0 if v.dtype == np.uint8 else v
+
     items = list(dataset)
     for clip in items:
-        video_sum += clip.video.reshape(-1, 3).sum(axis=0)
+        video_sum += as_float(clip.video).reshape(-1, 3).sum(axis=0)
         video_count += clip.video.size / 3
         audio_sum += float(clip.audio.sum())
         audio_count += clip.audio.size
@@ -31,7 +35,8 @@ def compute_stats(dataset: Iterable[Clip]) -> Stats:
     video_sse = np.zeros(3, np.float64)
     audio_sse = 0.0
     for clip in items:
-        video_sse += ((clip.video.reshape(-1, 3) - video_mean) ** 2).sum(axis=0)
+        video_sse += ((as_float(clip.video).reshape(-1, 3) - video_mean) ** 2
+                      ).sum(axis=0)
         audio_sse += float(((clip.audio - audio_mean) ** 2).sum())
     return Stats(video_mean=video_mean.astype(np.float32),
                  video_std=np.sqrt(video_sse / video_count).astype(np.float32),

@@ -73,7 +73,10 @@ class SyntheticClipDataset:
         phase = rng.uniform(0, 2 * np.pi)
         audio = (0.1 * np.sin(2 * np.pi * freq * tt + phase)
                  + 0.01 * rng.standard_normal(s)).astype(np.float32)
-        return Clip(video=video.astype(np.float32), audio=audio,
+        # ship uint8 like the production cached/native pipeline: 4x less
+        # host->device transfer; /255 fuses into on-device normalization
+        video_u8 = (np.clip(video, 0, 1) * 255.0).astype(np.uint8)
+        return Clip(video=video_u8, audio=audio,
                     video_duration=float(dur), audio_duration=float(dur),
                     filename=f"synthetic://{idx}", index=idx)
 

@@ -21,7 +21,8 @@ import numpy as np
 @dataclass
 class Clip:
     """A video clip with associated audio (reference pig/data.py:28-37)."""
-    video: np.ndarray  # (T, H, W, C) float32 in [0, 1]
+    video: np.ndarray  # (T, H, W, C): uint8 (cached/native pipeline — the
+    # encoders fuse /255 on device) or float32 in [0, 1] (decode-on-the-fly)
     audio: np.ndarray  # (S,) float32
     video_duration: float
     audio_duration: float

@@ -38,8 +38,9 @@ def _write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
 
 
 def _write_video(path: str, frames: np.ndarray, fps: float = 10.0) -> bool:
-    """(T, H, W, 3) float [0,1] -> mp4 via OpenCV; frame-grid PNG fallback."""
-    frames_u8 = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    """(T, H, W, 3) float [0,1] or uint8 -> mp4 via OpenCV; PNG-grid fallback."""
+    frames_u8 = (frames if frames.dtype == np.uint8
+                 else (np.clip(frames, 0, 1) * 255).astype(np.uint8))
     try:
         import cv2
 

@@ -145,10 +145,12 @@ class PeppaTargetedTripletCachedDataset:
 
     def __getitem__(self, idx: int) -> Triplet:
         with np.load(os.path.join(self.cache_dir, f"{idx}.npz")) as z:
+            # videos stay uint8 host->device; the encoders fuse /255 on
+            # device, bit-identically to re-floating here
             item = Triplet(
                 anchor=z["anchor"].astype(np.float32),
-                positive=z["positive"].astype(np.float32) / 255.0,
-                negative=z["negative"].astype(np.float32) / 255.0,
+                positive=z["positive"],
+                negative=z["negative"],
                 audio_duration=float(z["audio_duration"]),
                 video_duration=float(z["video_duration"]))
         if self.scrambled_video:

@@ -28,9 +28,9 @@ def test_pack_roundtrip(tmp_path, rng):
     assert len(reader) == len(clips)
     for i, clip in enumerate(clips):
         got = reader[i]
-        want_q = (np.clip(clip.video, 0, 1) * 255).astype(np.uint8) / 255.0
-        np.testing.assert_allclose(got.video, want_q.astype(np.float32),
-                                   atol=1e-6)
+        # PackReader ships uint8 straight through (device fuses /255)
+        want_q = (np.clip(clip.video, 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(got.video, want_q)
         np.testing.assert_array_equal(got.audio, clip.audio)
         assert got.video_duration == pytest.approx(clip.video_duration)
         assert got.audio_duration == pytest.approx(clip.audio_duration)
