@@ -55,6 +55,10 @@ def main():
     # (models/convert.py::widen_midplanes) — so this IS the production config.
     cfg.video.midplanes_multiple = int(
         os.environ.get("BENCH_MIDPLANES", "128")) or None
+    # W8A8 dynamic int8 inference (tpu.quantize_int8): ~6.5x MXU issue rate
+    # vs bf16 on v5e; embedding quality bound vs the float path is measured
+    # in tests/test_quant.py and on the trained checkpoint (PERF.md).
+    cfg.tpu.quantize_int8 = os.environ.get("BENCH_INT8", "0") == "1"
     frames, samples = 23, 101430  # 2.3 s at 10 fps / 44.1 kHz
     b = batch_size
 

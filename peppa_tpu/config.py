@@ -114,6 +114,11 @@ class TPUConfig:
     # way — measured -18 ms/step on the video trunk at B=32).  Set
     # "float32" to restore f32 normalization round trips.
     bn_dtype: Optional[str] = None
+    # W8A8 dynamic int8 quantization on the INFERENCE path (ops/quant.py):
+    # the MXU runs int8 at ~6.5x the bf16 rate on v5e.  Training and any
+    # non-deterministic forward always use the float path.  Off by default;
+    # quality bounds are measured in tests/test_quant.py and PERF.md.
+    quantize_int8: bool = False
     bucket_durations: Sequence[float] = (2.3, 3.2, 4.0, 6.0)  # pad-to-bucket shapes
     use_pallas: bool = True  # fused Pallas kernels where available
     # explicit shard_map global-negative loss when the data axis has >1

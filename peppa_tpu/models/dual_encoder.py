@@ -54,6 +54,7 @@ class PeppaPig(nn.Module):
             cfg=audio_cfg,
             dtype=dtype,
             use_pallas=cfg.tpu.use_pallas,
+            quant=cfg.tpu.quantize_int8,
             name="audio_encoder",
         )
         if cfg.video.static:
@@ -82,6 +83,7 @@ class PeppaPig(nn.Module):
                 bn_dtype=(jnp.dtype(cfg.tpu.bn_dtype)
                           if cfg.tpu.bn_dtype else None),
                 midplanes_multiple=cfg.video.midplanes_multiple,
+                quant=cfg.tpu.quantize_int8,
                 name="video_encoder",
             )
 

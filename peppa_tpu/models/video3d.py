@@ -25,14 +25,16 @@ import jax
 import jax.numpy as jnp
 
 from peppa_tpu.models.layers import make_video_pool
+from peppa_tpu.models.qlayers import QConv
+from peppa_tpu.ops.quant import int8_conv
 from peppa_tpu.ops.similarity import l2_normalize
 
 
 def _conv(x, features: int, kernel: Tuple[int, int, int],
-          strides: Tuple[int, int, int], dtype, name: str):
+          strides: Tuple[int, int, int], dtype, name: str,
+          quant: bool = False):
     pad = [(k // 2, k // 2) for k in kernel]
-    return nn.Conv(features, kernel, strides=strides, padding=pad,
-                   use_bias=False, dtype=dtype, name=name)(x)
+    return QConv(features, kernel, strides, pad, dtype, quant, name=name)(x)
 
 
 class S2DStemConv(nn.Module):
@@ -53,6 +55,16 @@ class S2DStemConv(nn.Module):
     t_kernel: int = 1
     dtype: jnp.dtype = jnp.float32
     enabled: bool = True
+    quant: bool = False
+
+    def _apply(self, x, w, strides, padding):
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+        if self.quant:
+            return int8_conv(x, w, strides, padding, dn,
+                             out_dtype=self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=strides, padding=padding, dimension_numbers=dn)
 
     @nn.compact
     def __call__(self, x):
@@ -62,11 +74,8 @@ class S2DStemConv(nn.Module):
         _, _, h, wd, _ = x.shape
         tp = t // 2
         if not self.enabled or h % 2 or wd % 2:
-            return jax.lax.conv_general_dilated(
-                x.astype(self.dtype), w.astype(self.dtype),
-                window_strides=(1, 2, 2),
-                padding=[(tp, tp), (3, 3), (3, 3)],
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return self._apply(x, w, (1, 2, 2),
+                               [(tp, tp), (3, 3), (3, 3)])
         b, frames = x.shape[:2]
         # cast before the blocking transpose: it is HBM-bound, bf16 halves it
         xs = x.astype(self.dtype).reshape(b, frames, h // 2, 2, wd // 2, 2, 3)
@@ -79,11 +88,7 @@ class S2DStemConv(nn.Module):
         ws = ws.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
             t, 4, 4, 12, self.features)
         # block j ranges i-2..i+1 at the edges -> padding (2, 1)
-        return jax.lax.conv_general_dilated(
-            xs.astype(self.dtype), ws.astype(self.dtype),
-            window_strides=(1, 1, 1),
-            padding=[(tp, tp), (2, 1), (2, 1)],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return self._apply(xs, ws, (1, 1, 1), [(tp, tp), (2, 1), (2, 1)])
 
 
 class BatchNorm(nn.Module):
@@ -133,6 +138,7 @@ class Conv2Plus1D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
     bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
+    quant: bool = False
 
     @staticmethod
     def downsample_stride(s: int):
@@ -142,11 +148,13 @@ class Conv2Plus1D(nn.Module):
     def __call__(self, x, train: bool):
         mid = self.mid_features or midplanes(self.in_features, self.features)
         s = self.stride
-        x = _conv(x, mid, (1, 3, 3), (1, s, s), self.dtype, "spatial")
+        x = _conv(x, mid, (1, 3, 3), (1, s, s), self.dtype, "spatial",
+                  quant=self.quant)
         x = BatchNorm(self.bn_dtype or self.dtype, name="bn_mid")(
             x, use_running_average=not train)
         x = nn.relu(x)
-        x = _conv(x, self.features, (3, 1, 1), (s, 1, 1), self.dtype, "temporal")
+        x = _conv(x, self.features, (3, 1, 1), (s, 1, 1), self.dtype,
+                  "temporal", quant=self.quant)
         return x
 
 
@@ -158,6 +166,7 @@ class Conv3DSimple(nn.Module):
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
     bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
+    quant: bool = False
 
     @staticmethod
     def downsample_stride(s: int):
@@ -166,7 +175,8 @@ class Conv3DSimple(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         s = self.stride
-        return _conv(x, self.features, (3, 3, 3), (s, s, s), self.dtype, "conv")
+        return _conv(x, self.features, (3, 3, 3), (s, s, s), self.dtype,
+                     "conv", quant=self.quant)
 
 
 class Conv3DNoTemporal(nn.Module):
@@ -177,6 +187,7 @@ class Conv3DNoTemporal(nn.Module):
     dtype: jnp.dtype = jnp.float32
     mid_features: int = 0
     bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
+    quant: bool = False
 
     @staticmethod
     def downsample_stride(s: int):
@@ -185,7 +196,8 @@ class Conv3DNoTemporal(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         s = self.stride
-        return _conv(x, self.features, (1, 3, 3), (1, s, s), self.dtype, "conv")
+        return _conv(x, self.features, (1, 3, 3), (1, s, s), self.dtype,
+                     "conv", quant=self.quant)
 
 
 CONV_MAKERS = {
@@ -203,6 +215,7 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
     midplanes_multiple: Optional[int] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -213,20 +226,20 @@ class BasicBlock(nn.Module):
         mid = midplanes(self.in_features, self.features,
                         self.midplanes_multiple)
         out = self.conv_maker(self.features, self.in_features, self.stride,
-                              self.dtype, mid, bnd,
+                              self.dtype, mid, bnd, self.quant,
                               name="conv1")(x, train)
         out = BatchNorm(bnd, name="bn1")(out,
                                          use_running_average=not train)
         out = nn.relu(out)
         out = self.conv_maker(self.features, self.features, 1,
-                              self.dtype, mid, bnd,
+                              self.dtype, mid, bnd, self.quant,
                               name="conv2")(out, train)
         out = BatchNorm(bnd, name="bn2")(out,
                                          use_running_average=not train)
         if self.stride != 1 or self.in_features != self.features:
             ds = self.conv_maker.downsample_stride(self.stride)
             identity = _conv(x, self.features, (1, 1, 1), ds,
-                             self.dtype, "downsample")
+                             self.dtype, "downsample", quant=self.quant)
             identity = BatchNorm(bnd, name="bn_down")(
                 identity, use_running_average=not train)
         return nn.relu(out + identity)
@@ -239,21 +252,24 @@ class VideoResNetTrunk(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
     midplanes_multiple: Optional[int] = None
     stem_s2d: bool = True
+    quant: bool = False  # W8A8 int8 convs on the eval path (qlayers.QConv)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         makers = CONV_MAKERS[self.version]
+        q = self.quant and not train  # inference-only quantization
         bn = lambda name: BatchNorm(self.bn_dtype or self.dtype, name=name)
         if self.version == "r2plus1d_18":
-            x = S2DStemConv(45, 1, self.dtype, self.stem_s2d,
+            x = S2DStemConv(45, 1, self.dtype, self.stem_s2d, q,
                             name="stem_spatial")(x)
             x = bn("stem_bn1")(x, use_running_average=not train)
             x = nn.relu(x)
-            x = _conv(x, 64, (3, 1, 1), (1, 1, 1), self.dtype, "stem_temporal")
+            x = _conv(x, 64, (3, 1, 1), (1, 1, 1), self.dtype,
+                      "stem_temporal", quant=q)
             x = bn("stem_bn2")(x, use_running_average=not train)
             x = nn.relu(x)
         else:
-            x = S2DStemConv(64, 3, self.dtype, self.stem_s2d,
+            x = S2DStemConv(64, 3, self.dtype, self.stem_s2d, q,
                             name="stem")(x)
             x = bn("stem_bn")(x, use_running_average=not train)
             x = nn.relu(x)
@@ -265,7 +281,7 @@ class VideoResNetTrunk(nn.Module):
             for bi in range(2):
                 x = BasicBlock(width, in_features, maker,
                                stride if bi == 0 else 1, self.dtype,
-                               self.bn_dtype, self.midplanes_multiple,
+                               self.bn_dtype, self.midplanes_multiple, q,
                                name=f"layer{li}_block{bi}")(x, train)
                 in_features = width
         return x  # (B, T', H', W', 512)
@@ -287,6 +303,7 @@ class R3DEncoder(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
     midplanes_multiple: Optional[int] = None
     stem_s2d: bool = True
+    quant: bool = False  # W8A8 int8 convs on the eval path
 
     @nn.compact
     def __call__(self, video: jnp.ndarray,
@@ -302,6 +319,7 @@ class R3DEncoder(nn.Module):
         x = (video - mean) / std
         x = VideoResNetTrunk(self.version, self.dtype, self.bn_dtype,
                              self.midplanes_multiple, self.stem_s2d,
+                             self.quant,
                              name="trunk")(x.astype(self.dtype), train)
         if tap == "features":
             return x

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from peppa_tpu.models.layers import length_mask
+from peppa_tpu.models.qlayers import QConv, QDense
 
 # (out_channels, kernel, stride) per conv layer of the feature extractor
 CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
@@ -84,13 +85,14 @@ class Wav2Vec2Config:
 class ConvFeatureExtractor(nn.Module):
     """7-layer strided conv front end, x320 downsample, bf16-friendly."""
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # W8A8 on conv1-6; conv0 reads raw audio, stays float
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
         x = waveform[..., None].astype(self.dtype)  # (B, S, 1)
         for i, (ch, k, s) in enumerate(CONV_LAYERS):
-            x = nn.Conv(ch, (k,), strides=(s,), padding="VALID", use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = QConv(ch, (k,), (s,), "VALID", self.dtype,
+                      quant=self.quant and i > 0, name=f"conv{i}")(x)
             if i == 0:
                 # GroupNorm with groups == channels: per-channel norm over time
                 x = nn.GroupNorm(num_groups=ch, epsilon=1e-5, dtype=jnp.float32,
@@ -141,6 +143,7 @@ class SelfAttention(nn.Module):
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray],
@@ -151,7 +154,7 @@ class SelfAttention(nn.Module):
         d = self.cfg.embed_dim
         h = self.cfg.num_heads
         hd = d // h
-        qkv_dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
+        qkv_dense = lambda name: QDense(d, self.dtype, self.quant, name=name)
         q = qkv_dense("q_proj")(x).reshape(*x.shape[:2], h, hd)
         k = qkv_dense("k_proj")(x).reshape(*x.shape[:2], h, hd)
         v = qkv_dense("v_proj")(x).reshape(*x.shape[:2], h, hd)
@@ -173,7 +176,7 @@ class SelfAttention(nn.Module):
                     probs, deterministic=False)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(*x.shape[:2], d)
-        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+        return QDense(d, self.dtype, self.quant, name="out_proj")(out)
 
 
 class TransformerLayer(nn.Module):
@@ -181,19 +184,20 @@ class TransformerLayer(nn.Module):
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray],
                  deterministic: bool) -> jnp.ndarray:
-        attn = SelfAttention(self.cfg, self.dtype, self.use_pallas,
+        attn = SelfAttention(self.cfg, self.dtype, self.use_pallas, self.quant,
                              name="attention")(x, lengths, deterministic)
         attn = nn.Dropout(self.cfg.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x + attn)
 
-        y = nn.Dense(self.cfg.ffn_dim, dtype=self.dtype, name="ffn_in")(x)
+        y = QDense(self.cfg.ffn_dim, self.dtype, self.quant, name="ffn_in")(x)
         y = gelu(y)
         y = nn.Dropout(self.cfg.activation_dropout)(y, deterministic=deterministic)
-        y = nn.Dense(self.cfg.embed_dim, dtype=self.dtype, name="ffn_out")(y)
+        y = QDense(self.cfg.embed_dim, self.dtype, self.quant, name="ffn_out")(y)
         y = nn.Dropout(self.cfg.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x + y)
 
@@ -203,6 +207,7 @@ class Wav2Vec2(nn.Module):
     cfg: Wav2Vec2Config = Wav2Vec2Config()
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
+    quant: bool = False  # W8A8 convs/denses on the eval (deterministic) path
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray,
@@ -211,14 +216,16 @@ class Wav2Vec2(nn.Module):
                  tap: str = "logits",
                  mask_padding: bool = False):
         """waveform: (B, S) mono audio. Returns features at `tap` and frame lengths."""
-        feats = ConvFeatureExtractor(self.dtype, name="feature_extractor")(waveform)
+        q = self.quant and deterministic  # inference-only quantization
+        feats = ConvFeatureExtractor(self.dtype, q,
+                                     name="feature_extractor")(waveform)
         frame_lengths = (conv_output_length(sample_lengths)
                          if sample_lengths is not None else None)
         if tap == "conv":
             return feats, frame_lengths
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="proj_ln")(feats)
-        x = nn.Dense(self.cfg.embed_dim, dtype=self.dtype, name="proj")(x)
+        x = QDense(self.cfg.embed_dim, self.dtype, q, name="proj")(x)
         x = nn.Dropout(self.cfg.dropout)(x, deterministic=deterministic)
 
         x = x + ConvPositionalEmbedding(self.cfg, self.dtype, name="pos_conv")(x)
@@ -229,7 +236,7 @@ class Wav2Vec2(nn.Module):
                                          frame_lengths is not None) else None
 
         for i in range(self.cfg.num_layers):
-            layer = TransformerLayer(self.cfg, self.dtype, self.use_pallas,
+            layer = TransformerLayer(self.cfg, self.dtype, self.use_pallas, q,
                                      name=f"layer{i}")
             if not deterministic and self.cfg.layer_drop > 0:
                 keep = jax.random.bernoulli(
@@ -261,6 +268,7 @@ class Wav2Vec2Encoder(nn.Module):
     cfg: Wav2Vec2Config = Wav2Vec2Config()
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
+    quant: bool = False  # W8A8 on the eval path (see qlayers)
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray,
@@ -277,7 +285,7 @@ class Wav2Vec2Encoder(nn.Module):
         if tap in ("conv", "context", "logits"):
             trunk_tap = tap
         feats, frame_lengths = Wav2Vec2(self.cfg, self.dtype, self.use_pallas,
-                                        name="wav2vec2")(
+                                        self.quant, name="wav2vec2")(
             waveform, sample_lengths, deterministic, trunk_tap, mask_padding)
         if tap in ("conv", "context", "logits"):
             return feats

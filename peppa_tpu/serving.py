@@ -60,10 +60,21 @@ class EncoderService:
         self._video_fn = _video
 
     @classmethod
-    def from_checkpoint(cls, version_dir: str, **kw) -> "EncoderService":
+    def from_checkpoint(cls, version_dir: str,
+                        quantize_int8: Optional[bool] = None,
+                        **kw) -> "EncoderService":
+        """`quantize_int8` overrides the checkpoint's tpu.quantize_int8:
+        W8A8 dynamic int8 serving (~6.5x MXU rate on v5e; same checkpoint —
+        the quantization is apply-time, ops/quant.py)."""
         from peppa_tpu.training.checkpoint import load_best_model
 
         model, variables, config, _ = load_best_model(version_dir)
+        if quantize_int8 is not None and \
+                quantize_int8 != config.tpu.quantize_int8:
+            from peppa_tpu.models.dual_encoder import PeppaPig
+
+            config.tpu.quantize_int8 = quantize_int8
+            model = PeppaPig(config)
         return cls(model, variables, config, **kw)
 
     # ------------------------------------------------------------- shapes
