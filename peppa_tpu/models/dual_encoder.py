@@ -65,6 +65,9 @@ class PeppaPig(nn.Module):
                 project=cfg.video.project,
                 mean=tuple(mean), std=tuple(std),
                 dtype=dtype,
+                bn_dtype=(jnp.dtype(cfg.tpu.bn_dtype)
+                          if cfg.tpu.bn_dtype else None),
+                quant=cfg.tpu.quantize_int8,
                 name="video_encoder",
             )
         else:

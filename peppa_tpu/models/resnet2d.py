@@ -8,7 +8,9 @@ simply has no classification head.
 
 TPU note: frames are folded into the batch axis ((B, T, H, W, C) ->
 (B*T, H, W, C)) so the 2D convs see one large batch — the MXU-friendly way to
-express "per-frame".
+express "per-frame".  BatchNorm compute dtype and W8A8 quantization follow
+the same knobs as the 3D tower (video3d.py): bn_dtype=None tracks the model
+dtype (stats stay f32), `quant` runs the eval path through qlayers.QConv.
 """
 
 from __future__ import annotations
@@ -19,52 +21,61 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from peppa_tpu.models.layers import AttentionPool
+from peppa_tpu.models.qlayers import QConv
 from peppa_tpu.ops.similarity import l2_normalize
+
+
+def _bn(dtype, name):
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name,
+                        use_running_average=None)
 
 
 class BasicBlock2D(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         s = self.stride
-        out = nn.Conv(self.features, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)],
-                      use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        bnd = self.bn_dtype or self.dtype
+        out = QConv(self.features, (3, 3), (s, s), [(1, 1), (1, 1)],
+                    self.dtype, self.quant, name="conv1")(x)
+        out = _bn(bnd, "bn1")(out, use_running_average=not train)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = QConv(self.features, (3, 3), (1, 1), [(1, 1), (1, 1)],
+                    self.dtype, self.quant, name="conv2")(out)
+        out = _bn(bnd, "bn2")(out, use_running_average=not train)
         if s != 1 or x.shape[-1] != self.features:
-            identity = nn.Conv(self.features, (1, 1), strides=(s, s),
-                               use_bias=False, dtype=self.dtype, name="downsample")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=self.dtype,
-                                    name="bn_down")(identity)
+            identity = QConv(self.features, (1, 1), (s, s), [(0, 0), (0, 0)],
+                             self.dtype, self.quant, name="downsample")(x)
+            identity = _bn(bnd, "bn_down")(identity,
+                                           use_running_average=not train)
         return nn.relu(out + identity)
 
 
 class ResNet18Trunk(nn.Module):
     """Standard ResNet-18 trunk up to global average pooling; (B, H, W, 3) -> (B, 512)."""
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
+        x = QConv(64, (7, 7), (2, 2), [(3, 3), (3, 3)], self.dtype,
+                  self.quant, name="stem_conv")(x)
+        x = _bn(self.bn_dtype or self.dtype, "stem_bn")(
+            x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for li, (width, stride) in enumerate(
                 zip((64, 128, 256, 512), (1, 2, 2, 2)), 1):
             for bi in range(2):
                 x = BasicBlock2D(width, stride if bi == 0 else 1, self.dtype,
+                                 self.bn_dtype, self.quant,
                                  name=f"layer{li}_block{bi}")(x, train)
         return jnp.mean(x, axis=(1, 2))  # global average pool
 
@@ -80,6 +91,8 @@ class ImageEncoder(nn.Module):
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # None: follow `dtype`
+    quant: bool = False  # W8A8 int8 convs on the eval path
 
     @nn.compact
     def __call__(self, video: jnp.ndarray,
@@ -93,7 +106,8 @@ class ImageEncoder(nn.Module):
         std = jnp.asarray(self.std, dtype=video.dtype)
         x = (video - mean) / std
         x = x.reshape(b * t, h, w, c).astype(self.dtype)
-        emb = ResNet18Trunk(self.dtype, name="trunk")(x, train)
+        emb = ResNet18Trunk(self.dtype, self.bn_dtype,
+                            self.quant and not train, name="trunk")(x, train)
         emb = emb.reshape(b, t, -1)
         if tap == "features":
             return emb

@@ -29,19 +29,31 @@ import yaml
 from flax import serialization
 
 
+_SNAPSHOT_COPY = None
+
+
 def _start_fetch(state):
     """Snapshot the train state as a payload tree and kick off async
     device->host copies for every leaf.
 
-    Issuing copy_to_host_async for ALL leaves before gathering any of them
-    overlaps the ~700 per-leaf transfers; a per-leaf np.asarray would
-    serialize one device round trip per leaf, which on a remote/tunneled
-    PJRT link turns a 2 GB state fetch into minutes.  The copies are also
-    ordered by the runtime before any later mutation of the same buffers
-    (donated train steps included), so the snapshot is consistent even when
-    training continues while a background thread materializes it.
+    Two-stage design, both stages required:
+
+    1. ONE jitted device-side copy into FRESH buffers (`jnp.copy` per leaf;
+       a real `copy` primitive, so XLA allocates new outputs).  The original
+       state buffers are donated by the next train step the moment training
+       resumes, and jax marks donated arrays deleted at dispatch time — a
+       background writer materializing the originals then dies with
+       "RuntimeError: Array has been deleted" (observed mid-run on
+       hardware).  The copy runs at HBM speed and is over before the loop
+       continues.
+    2. copy_to_host_async for ALL leaves before gathering any of them
+       overlaps the ~700 per-leaf transfers; a per-leaf np.asarray would
+       serialize one device round trip per leaf, which on a remote/tunneled
+       PJRT link turns a 2 GB state fetch into minutes.
     """
+    global _SNAPSHOT_COPY
     import jax
+    import jax.numpy as jnp
 
     payload = {
         "step": state.step,
@@ -49,6 +61,10 @@ def _start_fetch(state):
         "batch_stats": state.batch_stats,
         "opt_state": serialization.to_state_dict(state.opt_state),
     }
+    if _SNAPSHOT_COPY is None:
+        _SNAPSHOT_COPY = jax.jit(
+            lambda tree: jax.tree.map(jnp.copy, tree))
+    payload = _SNAPSHOT_COPY(payload)
     for leaf in jax.tree.leaves(payload):
         try:
             leaf.copy_to_host_async()

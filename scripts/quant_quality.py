@@ -1,9 +1,13 @@
 """Quality gate for W8A8 int8 inference: val metrics float vs int8.
 
-Loads the best checkpoint of a trained run (synthetic or real), runs the full
-validation battery (the reference's four monitor metrics,
-pig/models.py:291-318) with tpu.quantize_int8 off and on, and prints both
-plus deltas.  Usage:
+Loads the best checkpoint of a trained run, runs the full validation battery
+(the reference's four monitor metrics, pig/models.py:291-318) with
+tpu.quantize_int8 off and on, and prints both plus deltas.
+
+Data source: the real PigData val loaders when the run's data directory has
+extracted clips; otherwise the synthetic val corpus (clearly labeled) — the
+int8 quality decision for a real model should be read from the real-data
+mode.  Usage:
 
     python scripts/quant_quality.py [version_dir] [n_val]
 """
@@ -28,27 +32,32 @@ def main():
     version_dir = sys.argv[1] if len(sys.argv) > 1 else "lightning_logs/version_0"
     n_val = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
-    from peppa_tpu.config import Config
-    from peppa_tpu.data.datamodule import SyntheticPigData
+    from peppa_tpu.data.datamodule import PigData, SyntheticPigData
     from peppa_tpu.evaluation.validation import run_validation
     from peppa_tpu.models.dual_encoder import PeppaPig
-    from peppa_tpu.training.checkpoint import best_checkpoint_in, load_params
+    from peppa_tpu.training.checkpoint import load_best_model
     from peppa_tpu.training.step import make_eval_step
 
-    cfg = Config.load(os.path.join(version_dir, "hparams.yaml"))
-    ckpt = best_checkpoint_in(os.path.join(version_dir, "checkpoints"))
-    print(f"checkpoint: {ckpt}", flush=True)
-    params, batch_stats, meta = load_params(ckpt)
-    variables = {"params": params, "batch_stats": batch_stats}
+    model, variables, cfg, ckpt_path = load_best_model(version_dir)
+    print(f"checkpoint: {ckpt_path}", flush=True)
 
-    data = SyntheticPigData(cfg, n_val=n_val)
+    w, h = cfg.data.target_size
+    extracted = os.path.isdir(
+        os.path.join(cfg.data.data_dir, "out", f"{w}x{h}"))
+    if extracted:
+        data = PigData(cfg)
+        print("data: real extracted clips (PigData val loaders)", flush=True)
+    else:
+        data = SyntheticPigData(cfg, n_val=n_val)
+        print(f"data: SYNTHETIC val corpus (n_val={n_val}) — no extracted "
+              "media found; rerun with real data for the production quality "
+              "gate", flush=True)
     data.setup()
 
     results = {}
     for label, q in (("float", False), ("int8", True)):
         cfg.tpu.quantize_int8 = q
-        model = PeppaPig(cfg)
-        step = make_eval_step(model)
+        step = make_eval_step(PeppaPig(cfg))
         metrics = run_validation(step, variables, data.val_loaders(),
                                  n_samples=500)
         results[label] = metrics

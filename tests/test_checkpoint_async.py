@@ -99,3 +99,39 @@ def test_writer_failure_surfaces_on_wait(tmp_path, monkeypatch):
                                          "valnarr_triplet": 0.5}, epoch=0)
     with pytest.raises(OSError, match="disk full"):
         mgr.wait()
+
+
+def test_snapshot_survives_donation_of_originals(tmp_path):
+    """The async writer must keep working after the next (donating) train
+    step invalidates the ORIGINAL state buffers — regression for the
+    mid-run 'Array has been deleted' crash on hardware: _start_fetch now
+    copies into fresh device buffers before the loop resumes."""
+    import jax
+    import jax.numpy as jnp
+
+    from peppa_tpu.training.checkpoint import _materialize, _start_fetch
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+    want_w, want_b = np.asarray(w), np.asarray(b)
+    state = SimpleNamespace(step=jnp.int32(11),
+                            params={"w": w, "b": b},
+                            batch_stats={}, opt_state={"m": {"w": w * 0.5}})
+    payload = _start_fetch(state)
+
+    # the next train step donates the original buffers (a no-op on the CPU
+    # backend — on TPU they are marked deleted at dispatch; either way the
+    # snapshot must read its own fresh copies)
+    donate = jax.jit(lambda a: a + 1.0, donate_argnums=0)
+    _ = donate(w)
+    _ = donate(b)
+    if w.is_deleted():
+        with pytest.raises(RuntimeError):
+            np.asarray(w)
+
+    got = _materialize(payload)  # what the writer thread does
+    np.testing.assert_array_equal(got["params"]["w"], want_w)
+    np.testing.assert_array_equal(got["params"]["b"], want_b)
+    np.testing.assert_array_equal(got["opt_state"]["m"]["w"], want_w * 0.5)
+    assert int(got["step"]) == 11
