@@ -27,13 +27,21 @@ def encode_loader(eval_step: Callable, variables, loader: Iterable,
                   limit_batches: Optional[int] = None,
                   collect_duration: bool = False,
                   collect_loss: bool = False):
-    """Run the jit'd eval step over a loader, collecting embeddings on host."""
+    """Run the jit'd eval step over a loader, collecting embeddings on host.
+
+    The host input chain (decode/collate/device transfer) runs on a prefetch
+    thread (utils/prefetch.py) so it overlaps the device-side encodes — the
+    same mechanism that doubled the training loop's throughput (PERF.md).
+    """
+    import itertools
+
+    from peppa_tpu.utils.prefetch import Prefetcher
+
     vs, as_, durs, losses = [], [], [], []
-    for i, batch in enumerate(loader):
-        if limit_batches is not None and i >= limit_batches:
-            break
-        if shard_fn is not None:
-            batch = shard_fn(batch)
+    stream = (loader if limit_batches is None
+              else itertools.islice(iter(loader), limit_batches))
+    prefetcher = Prefetcher(stream, shard_fn or (lambda b: b), depth=2)
+    for batch in prefetcher:
         v, a, loss = eval_step(variables, batch)
         vs.append(np.asarray(v))
         as_.append(np.asarray(a))

@@ -31,6 +31,7 @@ from peppa_tpu.parallel.mesh import (make_mesh, replicate_batch,
                                      replicate_tree, shard_batch,
                                      state_shardings)
 from peppa_tpu.utils import dist
+from peppa_tpu.utils.prefetch import Prefetcher
 from peppa_tpu.training.checkpoint import CheckpointManager, next_version, save_hparams
 from peppa_tpu.training.loggers import MetricsLogger
 from peppa_tpu.training.optimization import make_optimizer
@@ -55,78 +56,6 @@ class NonFiniteLossError(RuntimeError):
     """Raised when training hits a non-finite loss (after an emergency save)."""
 
 
-class _Prefetcher:
-    """Overlap host batch production + device transfer with device compute.
-
-    One worker thread runs the (decode/collate/shard-device_put) chain and
-    keeps up to `depth` already-sharded batches queued while the training
-    thread dispatches steps — on a remote/tunneled device the transfer is
-    the dominant per-step host cost, and it is fully hidden behind the
-    previous step's execution.  `shard_batch` uses explicit NamedShardings,
-    so it is safe off the main thread.  depth <= 0 degrades to synchronous.
-    Worker exceptions re-raise in the consumer; `close()` stops the worker
-    promptly when the loop exits an epoch early (max_steps/max_time).
-    """
-
-    _END = object()
-    _ERR = object()
-
-    def __init__(self, batches, shard_fn, depth: int):
-        import queue
-        import threading
-
-        self._sync = depth <= 0
-        if self._sync:
-            self._it = (shard_fn(b) for b in batches)
-            return
-        self._q = queue.Queue(maxsize=depth)
-        self._stop = threading.Event()
-
-        def work():
-            try:
-                for b in batches:
-                    sharded = shard_fn(b)
-                    while not self._stop.is_set():
-                        try:
-                            self._q.put(sharded, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if self._stop.is_set():
-                        return
-            except BaseException as e:  # surfaced on the consumer side
-                self._q.put((self._ERR, e))
-                return
-            self._q.put(self._END)
-
-        self._thread = threading.Thread(target=work, daemon=True,
-                                        name="batch-prefetch")
-        self._thread.start()
-
-    def __iter__(self):
-        if self._sync:
-            yield from self._it
-            return
-        while True:
-            item = self._q.get()
-            if item is self._END:
-                return
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] is self._ERR:
-                raise item[1]
-            yield item
-
-    def close(self):
-        if self._sync:
-            return
-        self._stop.set()
-        # unblock a worker stuck on a full queue, then let it exit
-        try:
-            while True:
-                self._q.get_nowait()
-        except Exception:
-            pass
-        self._thread.join(timeout=5.0)
 
 
 class _NullLogger:
@@ -266,7 +195,7 @@ class Trainer:
                 import itertools
 
                 stream = itertools.islice(stream, tcfg.limit_train_batches)
-            prefetcher = _Prefetcher(stream, shard_fn,
+            prefetcher = Prefetcher(stream, shard_fn,
                                      self.config.tpu.prefetch)
             with self.mesh:
                 for batch in prefetcher:
