@@ -127,6 +127,10 @@ class TPUConfig:
     global_negative_loss: bool = True
     native_loader: bool = True  # C++ packed-cache batch loader where available
     prefetch: int = 2  # device prefetch depth
+    # scheduler-preemption signals (SLURM --signal / TPU pool maintenance):
+    # on receipt the Trainer saves checkpoints/preempted.ckpt at the next
+    # step boundary and stops cleanly (training/preemption.py)
+    preempt_signals: Sequence[str] = ("SIGTERM", "SIGUSR1")
 
 
 @dataclass

@@ -35,6 +35,7 @@ from peppa_tpu.utils.prefetch import Prefetcher
 from peppa_tpu.training.checkpoint import CheckpointManager, next_version, save_hparams
 from peppa_tpu.training.loggers import MetricsLogger
 from peppa_tpu.training.optimization import make_optimizer
+from peppa_tpu.training.preemption import PreemptionGuard
 from peppa_tpu.training.state import TrainState, param_count
 from peppa_tpu.training.step import make_eval_step, make_train_step
 from peppa_tpu.evaluation.validation import run_validation
@@ -94,6 +95,9 @@ class Trainer:
                 log_dir, "nonmain_process")
             self.logger = _NullLogger()
         self.mesh = make_mesh(config.tpu.mesh_shape, config.tpu.mesh_axes)
+        # set when a scheduler preemption signal stopped fit() early (a
+        # resumable checkpoints/preempted.ckpt was written first)
+        self.preempted = False
 
     def fit(self, data, pretrained_loader=None,
             resume_from: Optional[str] = None) -> TrainState:
@@ -185,83 +189,124 @@ class Trainer:
 
         pending = None  # (micro_step, metrics) of the previous train step
 
-        while not done:
-            if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
-                break
-            epoch_t0 = time.time()
-            n_batches = 0
-            stream = data.train_batches(epoch)
-            if tcfg.limit_train_batches is not None:
-                import itertools
+        guard = PreemptionGuard(cfg.tpu.preempt_signals)
+        try:
+            guard.__enter__()
+            while not done:
+                if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
+                    break
+                stream = data.train_batches(epoch)
+                if tcfg.limit_train_batches is not None:
+                    import itertools
 
-                stream = itertools.islice(stream, tcfg.limit_train_batches)
-            prefetcher = Prefetcher(stream, shard_fn,
-                                     self.config.tpu.prefetch)
-            with self.mesh:
-                for batch in prefetcher:
-                    if profile_dir and micro_step == profile_steps:
-                        jax.profiler.start_trace(profile_dir)
-                    state, metrics = train_step(state, batch, step_rng)
-                    micro_step += 1
-                    n_batches += 1
-                    timer.step(items=int(np.shape(batch.audio)[0]))
-                    if profile_dir and profile_steps and \
-                            micro_step == 2 * profile_steps:
-                        jax.block_until_ready(metrics["train_loss"])
-                        jax.profiler.stop_trace()
-                        profile_dir = None
-                    # failure detection (SURVEY.md §5.3): check EVERY step's
-                    # loss for finiteness — one step late so the host never
-                    # stalls the device pipeline (the previous step's value
-                    # is already computed by the time this one is dispatched)
-                    if pending is not None:
+                    stream = itertools.islice(stream, tcfg.limit_train_batches)
+                prefetcher = Prefetcher(stream, shard_fn,
+                                        self.config.tpu.prefetch)
+                with self.mesh:
+                    for batch in prefetcher:
+                        if profile_dir and micro_step == profile_steps:
+                            jax.profiler.start_trace(profile_dir)
+                        state, metrics = train_step(state, batch, step_rng)
+                        micro_step += 1
+                        timer.step(items=int(np.shape(batch.audio)[0]))
+                        if profile_dir and profile_steps and \
+                                micro_step == 2 * profile_steps:
+                            jax.block_until_ready(metrics["train_loss"])
+                            jax.profiler.stop_trace()
+                            profile_dir = None
+                        # failure detection (SURVEY.md §5.3): check EVERY
+                        # step's loss for finiteness — one step late so the
+                        # host never stalls the device pipeline (the previous
+                        # step's value is already computed by the time this
+                        # one is dispatched)
+                        if pending is not None:
+                            self._watchdog(float(pending[1]["train_loss"]),
+                                           pending[0], state, epoch)
+                        pending = (micro_step, metrics)
+                        if micro_step % tcfg.log_every_n_steps == 0:
+                            loss = float(metrics["train_loss"])
+                            self._watchdog(loss, micro_step, state, epoch)
+                            pending = None  # checked
+                            self.logger.log(
+                                {"train_loss": loss,
+                                 "lr": float(np.asarray(lr_at(
+                                     np.int32(micro_step // accum)))),
+                                 **timer.metrics()},
+                                step=micro_step, epoch=epoch)
+                            logging.info("epoch %d step %d loss %.4f "
+                                         "(%.1f clips/s)", epoch, micro_step,
+                                         loss, timer.items_per_sec)
+                        opt_steps = micro_step // accum
+                        if max_opt_steps is not None \
+                                and opt_steps >= max_opt_steps:
+                            done = True
+                            break
+                        if max_seconds is not None \
+                                and time.time() - start > max_seconds:
+                            logging.info("max_time reached, stopping")
+                            done = True
+                            break
+                        if guard.triggered:
+                            # scheduler preemption: save a resumable state at
+                            # this step boundary, then exit the loop cleanly
+                            self._on_preempted(guard, state, micro_step, epoch)
+                            done = True
+                            break
+                    # stop the prefetch worker promptly on early exit (a
+                    # NonFiniteLossError above also ends the run; the worker
+                    # is a daemon thread and cannot block interpreter exit)
+                    prefetcher.close()
+                    if pending is not None:  # tail step of the epoch
                         self._watchdog(float(pending[1]["train_loss"]),
                                        pending[0], state, epoch)
-                    pending = (micro_step, metrics)
-                    if micro_step % tcfg.log_every_n_steps == 0:
-                        loss = float(metrics["train_loss"])
-                        self._watchdog(loss, micro_step, state, epoch)
-                        pending = None  # checked
-                        self.logger.log(
-                            {"train_loss": loss,
-                             "lr": float(np.asarray(lr_at(
-                                 np.int32(micro_step // accum)))),
-                             **timer.metrics()},
-                            step=micro_step, epoch=epoch)
-                        logging.info("epoch %d step %d loss %.4f "
-                                     "(%.1f clips/s)", epoch, micro_step,
-                                     loss, timer.items_per_sec)
-                    opt_steps = micro_step // accum
-                    if max_opt_steps is not None and opt_steps >= max_opt_steps:
-                        done = True
+                        pending = None
+                    if self.preempted:
                         break
-                    if max_seconds is not None and time.time() - start > max_seconds:
-                        logging.info("max_time reached, stopping")
-                        done = True
-                        break
-                # stop the prefetch worker promptly on early exit (a
-                # NonFiniteLossError above also ends the run; the worker is
-                # a daemon thread and cannot block interpreter exit)
-                prefetcher.close()
-                if pending is not None:  # tail step of the epoch
-                    self._watchdog(float(pending[1]["train_loss"]),
-                                   pending[0], state, epoch)
-                    pending = None
 
-                # ---- validation + checkpoints (per epoch)
-                metrics = run_validation(
-                    eval_step, state.variables, data.val_loaders(),
-                    shard_fn=val_shard_fn, n_samples=500,
-                    limit_batches=tcfg.limit_val_batches, seed=tcfg.seed)
-            self.logger.log(metrics, step=micro_step, epoch=epoch)
-            logging.info("epoch %d validation: %s", epoch,
-                         {k: round(v, 4) for k, v in metrics.items()})
-            ckpt.on_validation_end(state, metrics, epoch)
-            epoch += 1
+                    # ---- validation + checkpoints (per epoch)
+                    metrics = run_validation(
+                        eval_step, state.variables, data.val_loaders(),
+                        shard_fn=val_shard_fn, n_samples=500,
+                        limit_batches=tcfg.limit_val_batches, seed=tcfg.seed)
+                self.logger.log(metrics, step=micro_step, epoch=epoch)
+                logging.info("epoch %d validation: %s", epoch,
+                             {k: round(v, 4) for k, v in metrics.items()})
+                ckpt.on_validation_end(state, metrics, epoch)
+                epoch += 1
+                if guard.triggered and not done:
+                    # preempted during validation: the epoch is complete, so
+                    # the saved state resumes at the NEXT epoch
+                    self._on_preempted(guard, state, micro_step, epoch)
+                    break
+        finally:
+            guard.__exit__(None, None, None)
 
         ckpt.wait()  # join in-flight async checkpoint writes (re-raises)
         self.logger.close()
         return state
+
+    def _on_preempted(self, guard, state, micro_step: int, epoch: int) -> None:
+        """Write a resumable checkpoint and mark the run preempted.
+
+        `epoch` is the epoch the step loop is CURRENTLY in (or, after a
+        completed validation, the next one) — the checkpoint's meta records
+        `epoch - 1` as the last completed epoch, so `--resume_from
+        .../preempted.ckpt` replays the interrupted epoch from its start
+        (the train stream is a function of (seed, epoch); already-consumed
+        batches are retrained, which keeps the data order deterministic at
+        the cost of a few duplicated steps).  Only the main process writes;
+        every process stops.
+        """
+        path = os.path.join(self.version_dir, "checkpoints", "preempted.ckpt")
+        if self._main:
+            from peppa_tpu.training.checkpoint import save_checkpoint
+
+            save_checkpoint(path, state, {
+                "monitor": None, "epoch": epoch - 1,
+                "reason": f"preempted by {guard.signame} at step {micro_step}"})
+        logging.info("preemption (%s): resumable state saved to %s, stopping",
+                     guard.signame, path)
+        self.preempted = True
 
     def _watchdog(self, loss: float, micro_step: int, state, epoch: int) -> None:
         """Abort on a non-finite loss with an emergency checkpoint.

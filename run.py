@@ -76,6 +76,12 @@ def main(args):
     logging.info("Run directory: %s", trainer.version_dir)
     trainer.fit(data, pretrained_loader=pretrained_loader_from_config(config),
                 resume_from=args.resume_from)
+    if trainer.preempted:
+        # EX_TEMPFAIL: the run was preempted after saving
+        # checkpoints/preempted.ckpt — requeue with --resume_from it
+        import sys
+
+        sys.exit(75)
 
 
 if __name__ == "__main__":
