@@ -284,6 +284,49 @@ def next_version(log_dir: str = "lightning_logs") -> str:
     return path
 
 
+def find_preempted_checkpoint(config, log_dir: str = "lightning_logs"
+                              ) -> Optional[str]:
+    """Newest `checkpoints/preempted.ckpt` under `log_dir` from a run of the
+    SAME config (hparams.yaml equality, ignoring git_commit), or None.
+
+    This is the scheduler-requeue half of graceful preemption
+    (training/preemption.py): `run.py --auto_resume` calls this at startup so
+    a requeued job picks up exactly where its preempted predecessor stopped,
+    without the scheduler script having to thread checkpoint paths around.
+    Runs with different seeds or ablation settings never match each other,
+    so concurrent job arrays sharing one log_dir resume only their own work.
+    """
+    from peppa_tpu.config import Config
+
+    def _comparable(d: Dict[str, Any]) -> Dict[str, Any]:
+        d = dict(d)
+        d.pop("git_commit", None)
+        return d
+
+    want = _comparable(config.to_dict())
+    candidates: List[Tuple[float, str]] = []
+    for vdir in glob.glob(os.path.join(log_dir, "version_*")):
+        path = os.path.join(vdir, "checkpoints", "preempted.ckpt")
+        hparams = os.path.join(vdir, "hparams.yaml")
+        if not (os.path.exists(path) and os.path.exists(hparams)):
+            continue
+        try:
+            saved = _comparable(Config.load(hparams).to_dict())
+        except Exception:  # unreadable/foreign hparams: not a candidate
+            continue
+        if saved == want:
+            candidates.append((os.path.getmtime(path), path))
+    return max(candidates)[1] if candidates else None
+
+
+def consume_preempted_checkpoint(path: str) -> None:
+    """Mark an auto-resumed preempted.ckpt as used (rename, keep the data)
+    so the next --auto_resume run of this config starts fresh."""
+    for p in (path, path + ".json"):
+        if os.path.exists(p):
+            os.replace(p, p + ".consumed")
+
+
 def save_hparams(version_dir: str, config) -> None:
     """hparams.yaml in the run dir (reference models.py:227 save_hyperparameters)."""
     with open(os.path.join(version_dir, "hparams.yaml"), "w") as f:

@@ -106,92 +106,100 @@ class Trainer:
         equivalent (SURVEY.md §5.4)."""
         cfg = self.config
         tcfg = cfg.training
-        if self._main:
-            save_hparams(self.version_dir, cfg)
-        data.prepare_data()
-        data.setup()
-
-        # ---- model + state
-        rng = jax.random.PRNGKey(tcfg.seed)
-        model, variables = init_model(cfg, rng)
-        if pretrained_loader is not None:
-            variables = pretrained_loader(variables)
-        logging.info("Model parameters: %.1fM",
-                     param_count(variables["params"]) / 1e6)
-        tx = make_optimizer(cfg.optimizer,
-                            accumulate_grad_batches=tcfg.accumulate_grad_batches,
-                            freeze_feature_extractor=cfg.audio.freeze_feature_extractor,
-                            freeze_encoder_layers=cfg.audio.freeze_encoder_layers,
-                            params=variables["params"])
-        state = TrainState.create(variables, tx)
-        start_epoch = 0
-        if resume_from is not None:
-            from peppa_tpu.training.checkpoint import load_checkpoint
-
-            state, meta = load_checkpoint(resume_from, state)
-            # resume the EPOCH counter too: the train stream is a function of
-            # (seed, epoch), so an epoch-aligned restart replays exactly the
-            # batches a continuous run would have seen (bit-identical losses)
-            if isinstance(meta.get("epoch"), int):
-                start_epoch = meta["epoch"] + 1
-            logging.info("Resumed from %s at step %s (epoch %d)", resume_from,
-                         int(np.asarray(state.step)), start_epoch)
-        with self.mesh:
-            state = jax.tree.map(
-                lambda x, s: jax.device_put(x, s), state,
-                state_shardings(state, self.mesh))
-
-        # host-side copy of the optimizer's LR schedule, for metrics.csv —
-        # BertAdam applies lr_at(step) at each (post-accumulation) update
-        # (optimization.py::bert_adam), so lr here is the value the NEXT
-        # optimizer step will use
-        from peppa_tpu.training.optimization import schedule_fn
-        lr_at = schedule_fn(cfg.optimizer.schedule, cfg.optimizer.lr,
-                            cfg.optimizer.warmup, cfg.optimizer.t_total)
-
-        train_step = make_train_step(
-            model, cfg.margin, donate=cfg.tpu.donate_state, mesh=self.mesh,
-            use_global_negative=cfg.tpu.global_negative_loss)
-        eval_step = make_eval_step(model, mesh=self.mesh)
-        step_rng = jax.random.PRNGKey(tcfg.seed + 1)
-        shard_fn = lambda b: shard_batch(b, self.mesh)
-        # under multi-host, every process iterates the same val loaders, so
-        # val batches must be replicated, not treated as per-process slabs
-        # (shard_batch would duplicate each clip process_count times)
-        if dist.process_count() > 1:
-            val_shard_fn = lambda b: replicate_batch(b, self.mesh)
-        else:
-            val_shard_fn = shard_fn
-        ckpt = CheckpointManager(self.version_dir) if self._main \
-            else _NullCheckpointManager()
-
-        # ---- sanity validation (reference run.py:58)
-        if tcfg.num_sanity_val_steps:
-            logging.info("Sanity validation (%d batches)", tcfg.num_sanity_val_steps)
-            with self.mesh:
-                run_validation(eval_step, state.variables, data.val_loaders(),
-                               shard_fn=val_shard_fn, n_samples=10,
-                               limit_batches=tcfg.num_sanity_val_steps,
-                               seed=tcfg.seed)
-
-        # ---- budgets
-        max_seconds = parse_max_time(tcfg.max_time)
-        t_total = cfg.optimizer.t_total
-        max_opt_steps = tcfg.max_steps if tcfg.max_steps is not None else t_total
-        accum = max(tcfg.accumulate_grad_batches, 1)
-        start = time.time()
-        micro_step = int(np.asarray(state.step))  # nonzero after resume
-        epoch = start_epoch
-        done = False
-        timer = StepTimer(warmup_steps=2)
-        profile_dir = os.environ.get("PEPPA_PROFILE_DIR")  # jax.profiler trace
-        profile_steps = int(os.environ.get("PEPPA_PROFILE_STEPS", "0"))
-
-        pending = None  # (micro_step, metrics) of the previous train step
-
+        # armed for ALL of fit — a scheduler signal during setup/compile/
+        # sanity validation must stop the run cleanly, not kill the process
+        # (SIGUSR1's default disposition is terminate)
         guard = PreemptionGuard(cfg.tpu.preempt_signals)
         try:
             guard.__enter__()
+            if self._main:
+                save_hparams(self.version_dir, cfg)
+            data.prepare_data()
+            data.setup()
+
+            # ---- model + state
+            rng = jax.random.PRNGKey(tcfg.seed)
+            model, variables = init_model(cfg, rng)
+            if pretrained_loader is not None:
+                variables = pretrained_loader(variables)
+            logging.info("Model parameters: %.1fM",
+                         param_count(variables["params"]) / 1e6)
+            tx = make_optimizer(cfg.optimizer,
+                                accumulate_grad_batches=tcfg.accumulate_grad_batches,
+                                freeze_feature_extractor=cfg.audio.freeze_feature_extractor,
+                                freeze_encoder_layers=cfg.audio.freeze_encoder_layers,
+                                params=variables["params"])
+            state = TrainState.create(variables, tx)
+            start_epoch = 0
+            if resume_from is not None:
+                from peppa_tpu.training.checkpoint import load_checkpoint
+
+                state, meta = load_checkpoint(resume_from, state)
+                # resume the EPOCH counter too: the train stream is a function of
+                # (seed, epoch), so an epoch-aligned restart replays exactly the
+                # batches a continuous run would have seen (bit-identical losses)
+                if isinstance(meta.get("epoch"), int):
+                    start_epoch = meta["epoch"] + 1
+                logging.info("Resumed from %s at step %s (epoch %d)", resume_from,
+                             int(np.asarray(state.step)), start_epoch)
+            with self.mesh:
+                state = jax.tree.map(
+                    lambda x, s: jax.device_put(x, s), state,
+                    state_shardings(state, self.mesh))
+
+            # host-side copy of the optimizer's LR schedule, for metrics.csv —
+            # BertAdam applies lr_at(step) at each (post-accumulation) update
+            # (optimization.py::bert_adam), so lr here is the value the NEXT
+            # optimizer step will use
+            from peppa_tpu.training.optimization import schedule_fn
+            lr_at = schedule_fn(cfg.optimizer.schedule, cfg.optimizer.lr,
+                                cfg.optimizer.warmup, cfg.optimizer.t_total)
+
+            train_step = make_train_step(
+                model, cfg.margin, donate=cfg.tpu.donate_state, mesh=self.mesh,
+                use_global_negative=cfg.tpu.global_negative_loss)
+            eval_step = make_eval_step(model, mesh=self.mesh)
+            step_rng = jax.random.PRNGKey(tcfg.seed + 1)
+            shard_fn = lambda b: shard_batch(b, self.mesh)
+            # under multi-host, every process iterates the same val loaders, so
+            # val batches must be replicated, not treated as per-process slabs
+            # (shard_batch would duplicate each clip process_count times)
+            if dist.process_count() > 1:
+                val_shard_fn = lambda b: replicate_batch(b, self.mesh)
+            else:
+                val_shard_fn = shard_fn
+            ckpt = CheckpointManager(self.version_dir) if self._main \
+                else _NullCheckpointManager()
+
+            # ---- sanity validation (reference run.py:58)
+            if tcfg.num_sanity_val_steps:
+                logging.info("Sanity validation (%d batches)", tcfg.num_sanity_val_steps)
+                with self.mesh:
+                    run_validation(eval_step, state.variables, data.val_loaders(),
+                                   shard_fn=val_shard_fn, n_samples=10,
+                                   limit_batches=tcfg.num_sanity_val_steps,
+                                   seed=tcfg.seed)
+
+            # ---- budgets
+            max_seconds = parse_max_time(tcfg.max_time)
+            t_total = cfg.optimizer.t_total
+            max_opt_steps = tcfg.max_steps if tcfg.max_steps is not None else t_total
+            accum = max(tcfg.accumulate_grad_batches, 1)
+            start = time.time()
+            micro_step = int(np.asarray(state.step))  # nonzero after resume
+            epoch = start_epoch
+            done = False
+            timer = StepTimer(warmup_steps=2)
+            profile_dir = os.environ.get("PEPPA_PROFILE_DIR")  # jax.profiler trace
+            profile_steps = int(os.environ.get("PEPPA_PROFILE_STEPS", "0"))
+
+            pending = None  # (micro_step, metrics) of the previous train step
+
+            if guard.triggered:
+                # preempted before the first step: the initial/restored
+                # state is consistent; save it and stop
+                self._on_preempted(guard, state, micro_step, epoch)
+                done = True
             while not done:
                 if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
                     break

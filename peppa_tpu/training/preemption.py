@@ -65,7 +65,8 @@ class PreemptionGuard:
         return False
 
     def _handle(self, signum, frame) -> None:
-        self.signame = signal.Signals(signum).name
+        if self.signame is None:  # record the FIRST triggering signal
+            self.signame = signal.Signals(signum).name
         self._event.set()
 
     @property

@@ -72,16 +72,33 @@ def main(args):
     else:
         data = PigData(config)
 
+    resume_from = args.resume_from
+    auto_resumed = False
+    if args.auto_resume and resume_from is None:
+        from peppa_tpu.training.checkpoint import find_preempted_checkpoint
+
+        resume_from = find_preempted_checkpoint(config, args.log_dir)
+        if resume_from is not None:
+            auto_resumed = True
+            logging.info("auto-resume: continuing from %s", resume_from)
+
     trainer = Trainer(config, log_dir=args.log_dir)
     logging.info("Run directory: %s", trainer.version_dir)
     trainer.fit(data, pretrained_loader=pretrained_loader_from_config(config),
-                resume_from=args.resume_from)
+                resume_from=resume_from)
     if trainer.preempted:
         # EX_TEMPFAIL: the run was preempted after saving
-        # checkpoints/preempted.ckpt — requeue with --resume_from it
+        # checkpoints/preempted.ckpt — requeue (jobarray.sh does) and this
+        # config's next --auto_resume run continues from it
         import sys
 
         sys.exit(75)
+    if auto_resumed:
+        # completed: retire the consumed checkpoint so a future fresh
+        # submission of this config does not silently resume it
+        from peppa_tpu.training.checkpoint import consume_preempted_checkpoint
+
+        consume_preempted_checkpoint(resume_from)
 
 
 if __name__ == "__main__":
@@ -99,6 +116,9 @@ if __name__ == "__main__":
     parser.add_argument("--log_dir", type=str, default="lightning_logs")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="Checkpoint to resume from (e.g. .../last.ckpt)")
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="Resume from the newest preempted.ckpt of a "
+                             "matching earlier run (scheduler requeue flow)")
     parser.add_argument("--synthetic_data", action="store_true",
                         help="Train on synthetic clips (no media needed)")
     parser.add_argument("--synthetic_train", type=int, default=64)

@@ -100,6 +100,91 @@ def test_trainer_preemption_saves_resumable_checkpoint(tmp_path):
     assert "SIGUSR1" in meta["reason"]
 
 
+class _PreemptDuringSetupData:
+    """Delivers the signal during data.setup() — before any train step.
+
+    Regression: the guard must cover ALL of fit() (setup, compile, sanity
+    validation), not just the step loop; SIGUSR1's default disposition
+    would otherwise kill the process mid-setup.
+    """
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def setup(self):
+        self._inner.setup()
+        os.kill(os.getpid(), signal.SIGUSR1)
+
+
+@pytest.mark.slow
+def test_preemption_during_setup_stops_cleanly(tmp_path):
+    from peppa_tpu.data.datamodule import SyntheticPigData
+    from peppa_tpu.training.loop import Trainer
+
+    cfg = tiny_config(tmp_path)
+    data = _PreemptDuringSetupData(SyntheticPigData(cfg, n_train=8, n_val=8))
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    state = trainer.fit(data)
+
+    assert trainer.preempted
+    assert int(np.asarray(state.step)) == 0  # stopped before any step
+    path = os.path.join(trainer.version_dir, "checkpoints", "preempted.ckpt")
+    assert os.path.exists(path)  # initial state saved: requeue resumes it
+
+
+def _fake_preempted_run(log_dir, cfg, version: int, mtime: float = None):
+    """Lay out version_N/{hparams.yaml, checkpoints/preempted.ckpt}."""
+    from peppa_tpu.training.checkpoint import save_hparams
+
+    vdir = os.path.join(log_dir, f"version_{version}")
+    os.makedirs(os.path.join(vdir, "checkpoints"), exist_ok=True)
+    save_hparams(vdir, cfg)
+    path = os.path.join(vdir, "checkpoints", "preempted.ckpt")
+    with open(path, "wb") as f:
+        f.write(b"ckpt")
+    with open(path + ".json", "w") as f:
+        f.write("{}")
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+    return path
+
+
+def test_find_preempted_checkpoint_matches_config(tmp_path):
+    from peppa_tpu.training.checkpoint import (
+        consume_preempted_checkpoint, find_preempted_checkpoint)
+
+    log_dir = str(tmp_path / "logs")
+    cfg = tiny_config(tmp_path)
+    assert find_preempted_checkpoint(cfg, log_dir) is None  # nothing yet
+
+    # a run of a DIFFERENT config (other seed) must never match
+    import copy
+
+    other = copy.deepcopy(cfg)
+    other.training.seed = cfg.training.seed + 1
+    _fake_preempted_run(log_dir, other, version=0, mtime=3000.0)
+    assert find_preempted_checkpoint(cfg, log_dir) is None
+
+    # two matching runs: the newest preempted.ckpt wins
+    old = _fake_preempted_run(log_dir, cfg, version=1, mtime=1000.0)
+    new = _fake_preempted_run(log_dir, cfg, version=2, mtime=2000.0)
+    assert find_preempted_checkpoint(cfg, log_dir) == new
+
+    # git_commit differences are ignored (requeued job = new commit stamp ok)
+    stamped = copy.deepcopy(cfg)
+    stamped.git_commit = "deadbeef"
+    assert find_preempted_checkpoint(stamped, log_dir) == new
+
+    # consuming retires a checkpoint from future auto-resume, keeps the data
+    consume_preempted_checkpoint(new)
+    assert not os.path.exists(new)
+    assert os.path.exists(new + ".consumed")
+    assert find_preempted_checkpoint(cfg, log_dir) == old
+
+
 @pytest.mark.slow
 def test_trainer_without_preemption_is_unaffected(tmp_path):
     from peppa_tpu.data.datamodule import SyntheticPigData
