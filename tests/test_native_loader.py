@@ -55,6 +55,56 @@ def test_native_pack_matches_python_reader(tmp_path, rng):
     pack.close()
 
 
+def test_native_pack_rejects_corrupt_files(tmp_path, rng):
+    """ppk_open bounds-validates the whole pack up front: truncated or
+    offset-corrupted files fail with a clean IOError, never a worker-thread
+    SIGSEGV (peppa_loader.cpp ppk_open)."""
+    from peppa_tpu.native import NativePack, native_available
+
+    if not native_available():
+        pytest.skip("native loader not built")
+    import struct
+
+    clips = make_clips(rng)
+    path = str(tmp_path / "ok.pack")
+    write_pack(path, clips)
+    blob = open(path, "rb").read()
+
+    # truncated mid-payload (interrupted write without the os.replace)
+    trunc = str(tmp_path / "trunc.pack")
+    open(trunc, "wb").write(blob[: len(blob) // 2])
+    with pytest.raises(IOError):
+        NativePack(trunc)
+
+    # header claims more items than the file can hold
+    overcount = str(tmp_path / "overcount.pack")
+    open(overcount, "wb").write(
+        struct.pack("<IIQ", *struct.unpack_from("<II", blob)[:2],
+                    10 ** 6) + blob[16:])
+    with pytest.raises(IOError):
+        NativePack(overcount)
+
+    # an index entry pointing past EOF
+    bad_entry = bytearray(blob)
+    entry = struct.Struct("<QIIIIQQff")
+    vals = list(entry.unpack_from(bad_entry, 16))
+    vals[0] = len(blob) + 4096  # video_off out of bounds
+    entry.pack_into(bad_entry, 16, *vals)
+    badpath = str(tmp_path / "bad_entry.pack")
+    open(badpath, "wb").write(bytes(bad_entry))
+    with pytest.raises(IOError):
+        NativePack(badpath)
+
+    # wrong magic
+    badmagic = str(tmp_path / "magic.pack")
+    open(badmagic, "wb").write(b"XXXX" + blob[4:])
+    with pytest.raises(IOError):
+        NativePack(badmagic)
+
+    # the pristine file still opens
+    assert len(NativePack(path)) == len(clips)
+
+
 def test_native_batch_loader_padding_and_order(tmp_path, rng):
     from peppa_tpu.native import NativeBatchLoader, NativePack, native_available
 
