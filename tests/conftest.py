@@ -10,9 +10,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA CPU hard-aborts the whole process ("Exiting to ensure a consistent
+# program state") when a collective's participant threads take more than 40 s
+# to rendezvous.  On a 1-core host running 8 virtual devices that's a
+# scheduling-starvation flake, not a deadlock — observed as a spurious
+# SIGABRT ~70 min into the full suite (XLA logs "Thread is unstuck! Warning
+# above was a false-positive" when it narrowly misses).  Raise the warn /
+# terminate timeouts so starvation can't kill the run; real deadlocks still
+# terminate, just later.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 # A TPU plugin loaded from sitecustomize may have already imported jax and
 # called jax.config.update("jax_platforms", ...), which takes precedence over
