@@ -190,20 +190,45 @@ class PeppaPigDataset:
         if force_cache or not os.path.isdir(self.cache_dir):
             if source is None:
                 raise RuntimeError(f"No cache at {self.cache_dir} and no source config")
-            os.makedirs(self.cache_dir, exist_ok=True)
-            with open(os.path.join(self.cache_dir, "settings.pkl"), "wb") as f:
-                pickle.dump(kwargs, f)
-            for i, item in enumerate(source):
-                logging.info("Caching item %s/%d.npz", self.cache_dir, i)
-                self._save_item(i, item)
+            # Build ATOMICALLY into a temp dir and publish with os.replace:
+            # a build that raises partway (e.g. missing media) must not leave
+            # a half-built items-* dir that later runs would trust — observed
+            # as a silently empty dataset after one failed evaluate.py run.
+            tmp = self.cache_dir + f".building-{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            try:
+                with open(os.path.join(tmp, "settings.pkl"), "wb") as f:
+                    pickle.dump(kwargs, f)
+                for i, item in enumerate(source):
+                    logging.info("Caching item %s/%d.npz", self.cache_dir, i)
+                    self._save_item_in(tmp, i, item)
+                if force_cache and os.path.isdir(self.cache_dir):
+                    import shutil
+
+                    shutil.rmtree(self.cache_dir)
+                os.replace(tmp, self.cache_dir)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         self.length = len(glob.glob(os.path.join(self.cache_dir, "*.npz")))
+        if self.length == 0:
+            raise RuntimeError(
+                f"Item cache {self.cache_dir} holds no clips — the source "
+                "dataset matched nothing (wrong split/fragment/data_dir?). "
+                "Remove the dir to force a rebuild.")
         self.scrambled_video = scrambled_video
         self._scramble_rng = np.random.default_rng(scramble_seed)
 
     def _save_item(self, i: int, item: Clip) -> None:
+        self._save_item_in(self.cache_dir, i, item)
+
+    @staticmethod
+    def _save_item_in(dirname: str, i: int, item: Clip) -> None:
         video = (item.video if item.video.dtype == np.uint8
                  else (np.clip(item.video, 0, 1) * 255).astype(np.uint8))
-        np.savez(os.path.join(self.cache_dir, f"{i}.npz"),
+        np.savez(os.path.join(dirname, f"{i}.npz"),
                  video=video,
                  audio=item.audio.astype(np.float32),
                  video_duration=np.float32(item.video_duration),
@@ -250,7 +275,6 @@ class PeppaPigDataset:
         os.makedirs(cache_dir, exist_ok=True)
         paths = sorted(glob.glob(os.path.join(torch_cache_dir, "*.pt")),
                        key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
-        self = cls.__new__(cls)
         for i, p in enumerate(paths):
             item = torch.load(p, map_location="cpu", weights_only=False)
             video = np.asarray(item.video)  # (C, T, H, W) torch layout
@@ -260,7 +284,7 @@ class PeppaPigDataset:
                         video_duration=float(item.video_duration),
                         audio_duration=float(item.audio_duration),
                         filename=str(getattr(item, "filename", "")))
-            PeppaPigDataset._save_item(self, i, clip)  # type: ignore[arg-type]
+            cls._save_item_in(cache_dir, i, clip)
         return cls(cache_dir=cache_dir)
 
 

@@ -90,3 +90,84 @@ def test_stats_over_tree(tree):
     # uint8 uniform video -> mean ~0.5
     np.testing.assert_allclose(stats.video_mean, 0.5, atol=0.05)
     assert stats.audio_std == pytest.approx(0.1, abs=0.02)
+
+
+def test_failed_cache_build_leaves_nothing(tree):
+    """A build that raises partway must not leave a trusted half-built cache.
+
+    Regression: one failed evaluate.py run (missing media) left an empty
+    items-* dir; every later run then served a 0-item dataset silently.
+    """
+    import glob
+
+    class Boom(Exception):
+        pass
+
+    kwargs = dict(split=["train"], target_size=TS, fragment_type="dialog",
+                  duration=2.0, audio_sample_rate=SR, data_dir=tree)
+    src = PeppaPigIterableDataset(**kwargs)
+
+    real_iter = PeppaPigIterableDataset.__iter__
+
+    def exploding_iter(self):
+        it = real_iter(self)
+        yield next(it)  # one item lands in the temp dir, then the build dies
+        raise Boom()
+
+    import peppa_tpu.data.dataset as dsmod
+    orig = dsmod.PeppaPigIterableDataset.__iter__
+    dsmod.PeppaPigIterableDataset.__iter__ = exploding_iter
+    try:
+        with pytest.raises(Boom):
+            PeppaPigDataset(**kwargs)
+    finally:
+        dsmod.PeppaPigIterableDataset.__iter__ = orig
+    # neither the published cache dir nor any temp build dir survives
+    assert not os.path.isdir(src.__class__ and os.path.join(
+        tree, "out", f"items-{src.config_id()}"))
+    assert glob.glob(os.path.join(tree, "out", "items-*.building-*")) == []
+    # a retry builds the full cache
+    ds = PeppaPigDataset(**kwargs)
+    assert len(ds) > 0
+
+
+def test_empty_source_raises_not_silent(tmp_path, tree):
+    """A source that matches nothing must raise, not serve a 0-item dataset."""
+    with pytest.raises((RuntimeError, Exception)):
+        PeppaPigDataset(split=["val"], target_size=TS,
+                        fragment_type="narration",  # tree has no narration
+                        duration=2.0, audio_sample_rate=SR, data_dir=tree)
+
+
+def test_import_reference_cache_roundtrip(tree, tmp_path):
+    """Reference items-*/{i}.pt caches convert to our npz cache faithfully."""
+    torch = pytest.importorskip("torch")
+
+    from types import SimpleNamespace
+
+    def RefClip(video, audio, vd, ad):  # shape of the reference's pickled Clip
+        return SimpleNamespace(video=video, audio=audio, video_duration=vd,
+                               audio_duration=ad, filename="ep_1/0.avi")
+
+    ref_dir = tmp_path / "ref_items"
+    ref_dir.mkdir()
+    rng = np.random.default_rng(0)
+    vids = []
+    for i in range(3):
+        v = torch.tensor(rng.uniform(size=(3, 4, 8, 6)).astype(np.float32))
+        a = torch.tensor(rng.normal(size=(1, 160)).astype(np.float32))
+        vids.append(v)
+        torch.save(RefClip(v, a, 0.4, 0.4), str(ref_dir / f"{i}.pt"))
+
+    out_dir = str(tmp_path / "items-imported")
+    ds = PeppaPigDataset.import_reference_cache(str(ref_dir), out_dir)
+    assert len(ds) == 3
+    item = ds[1]
+    # (C,T,H,W) float -> (T,H,W,C) uint8
+    assert item.video.shape == (4, 8, 6, 3)
+    assert item.video.dtype == np.uint8
+    want = np.transpose(np.asarray(vids[1]), (1, 2, 3, 0))
+    np.testing.assert_allclose(item.video.astype(np.float32) / 255.0,
+                               want, atol=1 / 255.0)
+    assert item.audio.shape == (160,)
+    assert item.audio_duration == pytest.approx(0.4)
