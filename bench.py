@@ -29,13 +29,9 @@ def main():
 
     # persistent compile cache: repeat bench runs skip the (minutes-long)
     # remote compile of the full encoder
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.cache/peppa_jax"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from peppa_tpu.config import default_config
     from peppa_tpu.data.types import ClipBatch

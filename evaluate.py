@@ -18,6 +18,9 @@ def get_args():
 
 
 if __name__ == "__main__":
+    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     args = get_args()
     E.full_run(versions=args.versions, log_dir=args.log_dir,
                results_dir=args.results_dir, n_samples=args.n_samples)

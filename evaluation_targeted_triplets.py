@@ -327,4 +327,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     main()

@@ -34,4 +34,7 @@ if __name__ == "__main__":
     parser.add_argument("--audio_glob",
                         default="data/out/realign/narration/ep_1/0/*.wav")
     args = parser.parse_args()
+    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     main(args.version_dir, args.audio_glob)

@@ -225,6 +225,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="e.g. --platforms tpu cpu for a cross-platform artifact")
     args = p.parse_args(argv)
 
+    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from peppa_tpu.training.checkpoint import load_best_model
 
     model, variables, config, ckpt_path = load_best_model(args.version_dir)

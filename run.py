@@ -24,19 +24,10 @@ def get_git_commit():
 
 def main(args):
     logging.getLogger().setLevel(logging.INFO)
-    import os
-
-    import jax
-
     # persistent compile cache: restarts and repeat configs skip XLA compiles
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.expanduser("~/.cache/peppa_jax")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if args.config_file is None:
         config = C.default_config()
     else:
