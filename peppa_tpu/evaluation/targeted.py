@@ -26,7 +26,7 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from peppa_tpu.data import decode as D
-from peppa_tpu.data.dataset import pad_to
+from peppa_tpu.data.dataset import atomic_cache_build, pad_to
 from peppa_tpu.data.types import Triplet, TripletBatch
 
 FPS = 10  # reference targeted_triplets.py:16
@@ -123,19 +123,22 @@ class PeppaTargetedTripletCachedDataset:
             data_dir, "out",
             f"items-targeted-triplets-{target_size[0]}-{target_size[1]}-"
             f"{fragment}-{audio_sample_rate}-{pos}")
-        if force_cache or not os.path.isdir(self.cache_dir):
-            os.makedirs(self.cache_dir, exist_ok=True)
+        def build(tmp: str) -> None:
             ds = PeppaTargetedTripletDataset.from_csv(
                 fragment, pos, target_size, audio_sample_rate, data_dir)
             for i in range(len(ds)):
                 item = ds[i]
                 logging.info("Caching item %s/%d.npz", self.cache_dir, i)
-                np.savez(os.path.join(self.cache_dir, f"{i}.npz"),
+                np.savez(os.path.join(tmp, f"{i}.npz"),
                          anchor=item.anchor.astype(np.float32),
                          positive=(np.clip(item.positive, 0, 1) * 255).astype(np.uint8),
                          negative=(np.clip(item.negative, 0, 1) * 255).astype(np.uint8),
                          audio_duration=np.float32(item.audio_duration or 0),
                          video_duration=np.float32(item.video_duration or 0))
+
+        # same atomic publish + no-silent-empty + concurrent-builder contract
+        # as the clip item cache (data/dataset.py::atomic_cache_build)
+        atomic_cache_build(self.cache_dir, build, force=force_cache)
         self.length = len(glob.glob(os.path.join(self.cache_dir, "*.npz")))
         self.scrambled_video = scrambled_video
         self._rng = np.random.default_rng(scramble_seed)

@@ -225,6 +225,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="e.g. --platforms tpu cpu for a cross-platform artifact")
     args = p.parse_args(argv)
 
+    # a multi-minute export over a tunneled link must not sit silent
+    logging.getLogger().setLevel(logging.INFO)
     from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()

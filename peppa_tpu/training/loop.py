@@ -194,6 +194,19 @@ class Trainer:
             profile_steps = int(os.environ.get("PEPPA_PROFILE_STEPS", "0"))
 
             pending = None  # (micro_step, metrics) of the previous train step
+            last_val_step = -1  # last micro_step a validation ran at
+
+            def validate_and_checkpoint(state, epoch, micro_step) -> None:
+                nonlocal last_val_step
+                last_val_step = micro_step
+                metrics = run_validation(
+                    eval_step, state.variables, data.val_loaders(),
+                    shard_fn=val_shard_fn, n_samples=500,
+                    limit_batches=tcfg.limit_val_batches, seed=tcfg.seed)
+                self.logger.log(metrics, step=micro_step, epoch=epoch)
+                logging.info("epoch %d validation: %s", epoch,
+                             {k: round(v, 4) for k, v in metrics.items()})
+                ckpt.on_validation_end(state, metrics, epoch)
 
             if guard.triggered:
                 # preempted before the first step: the initial/restored
@@ -244,6 +257,12 @@ class Trainer:
                             logging.info("epoch %d step %d loss %.4f "
                                          "(%.1f clips/s)", epoch, micro_step,
                                          loss, timer.items_per_sec)
+                        # mid-epoch validation every N micro-steps
+                        # (training.val_check_interval, Lightning semantics:
+                        # replaces the per-epoch validation when set)
+                        if tcfg.val_check_interval and \
+                                micro_step % tcfg.val_check_interval == 0:
+                            validate_and_checkpoint(state, epoch, micro_step)
                         opt_steps = micro_step // accum
                         if max_opt_steps is not None \
                                 and opt_steps >= max_opt_steps:
@@ -271,21 +290,23 @@ class Trainer:
                     if self.preempted:
                         break
 
-                    # ---- validation + checkpoints (per epoch)
-                    metrics = run_validation(
-                        eval_step, state.variables, data.val_loaders(),
-                        shard_fn=val_shard_fn, n_samples=500,
-                        limit_batches=tcfg.limit_val_batches, seed=tcfg.seed)
-                self.logger.log(metrics, step=micro_step, epoch=epoch)
-                logging.info("epoch %d validation: %s", epoch,
-                             {k: round(v, 4) for k, v in metrics.items()})
-                ckpt.on_validation_end(state, metrics, epoch)
+                    # ---- validation + checkpoints (per epoch, unless a
+                    # step-based val_check_interval drives it instead)
+                    if tcfg.val_check_interval is None:
+                        validate_and_checkpoint(state, epoch, micro_step)
                 epoch += 1
                 if guard.triggered and not done:
                     # preempted during validation: the epoch is complete, so
                     # the saved state resumes at the NEXT epoch
                     self._on_preempted(guard, state, micro_step, epoch)
                     break
+            # step-based validation: make sure the FINAL state is validated
+            # (and thus eligible for best-checkpoint selection) when the run
+            # ends between interval boundaries
+            if tcfg.val_check_interval is not None and not self.preempted \
+                    and last_val_step != micro_step and micro_step > 0:
+                with self.mesh:
+                    validate_and_checkpoint(state, epoch, micro_step)
         finally:
             guard.__exit__(None, None, None)
 

@@ -123,20 +123,50 @@ def test_failed_cache_build_leaves_nothing(tree):
     finally:
         dsmod.PeppaPigIterableDataset.__iter__ = orig
     # neither the published cache dir nor any temp build dir survives
-    assert not os.path.isdir(src.__class__ and os.path.join(
-        tree, "out", f"items-{src.config_id()}"))
+    assert not os.path.isdir(
+        os.path.join(tree, "out", f"items-{src.config_id()}"))
     assert glob.glob(os.path.join(tree, "out", "items-*.building-*")) == []
     # a retry builds the full cache
     ds = PeppaPigDataset(**kwargs)
     assert len(ds) > 0
 
 
-def test_empty_source_raises_not_silent(tmp_path, tree):
-    """A source that matches nothing must raise, not serve a 0-item dataset."""
-    with pytest.raises((RuntimeError, Exception)):
-        PeppaPigDataset(split=["val"], target_size=TS,
-                        fragment_type="narration",  # tree has no narration
-                        duration=2.0, audio_sample_rate=SR, data_dir=tree)
+def test_empty_source_raises_not_silent(tree):
+    """A source that yields zero items (without raising itself) must fail the
+    build with a clear error AND leave no published cache dir behind."""
+    import glob
+
+    kwargs = dict(split=["train"], target_size=TS, fragment_type="dialog",
+                  duration=2.0, audio_sample_rate=SR, data_dir=tree)
+    src = PeppaPigIterableDataset(**kwargs)
+
+    import peppa_tpu.data.dataset as dsmod
+    orig = dsmod.PeppaPigIterableDataset.__iter__
+    dsmod.PeppaPigIterableDataset.__iter__ = lambda self: iter(())
+    try:
+        with pytest.raises(RuntimeError, match="produced no items"):
+            PeppaPigDataset(**kwargs)
+    finally:
+        dsmod.PeppaPigIterableDataset.__iter__ = orig
+    assert not os.path.isdir(
+        os.path.join(tree, "out", f"items-{src.config_id()}"))
+    assert glob.glob(os.path.join(tree, "out", "items-*.building-*")) == []
+    # ...and a later run with working media rebuilds cleanly
+    assert len(PeppaPigDataset(**kwargs)) > 0
+
+
+def test_empty_leftover_cache_dir_is_rebuilt(tree):
+    """An items-* dir with no items (pre-fix poisoned leftover) triggers a
+    rebuild instead of being trusted or raising forever."""
+    kwargs = dict(split=["train"], target_size=TS, fragment_type="dialog",
+                  duration=2.0, audio_sample_rate=SR, data_dir=tree)
+    src = PeppaPigIterableDataset(**kwargs)
+    leftover = os.path.join(tree, "out", f"items-{src.config_id()}")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "settings.pkl"), "wb") as f:
+        f.write(b"stale")
+    ds = PeppaPigDataset(**kwargs)
+    assert len(ds) > 0
 
 
 def test_import_reference_cache_roundtrip(tree, tmp_path):
@@ -171,3 +201,24 @@ def test_import_reference_cache_roundtrip(tree, tmp_path):
                                want, atol=1 / 255.0)
     assert item.audio.shape == (160,)
     assert item.audio_duration == pytest.approx(0.4)
+
+
+def test_concurrent_cache_builders_race_benignly(tmp_path):
+    """The losing builder's os.replace onto a published non-empty cache must
+    fall back to the winner's cache, not crash with ENOTEMPTY."""
+    from peppa_tpu.data.dataset import atomic_cache_build
+
+    cache = str(tmp_path / "items-race")
+
+    def build(tmp):
+        np.savez(os.path.join(tmp, "0.npz"), x=np.zeros(1))
+        # simulate the other process publishing first
+        os.makedirs(cache, exist_ok=True)
+        np.savez(os.path.join(cache, "0.npz"), x=np.ones(1))
+        np.savez(os.path.join(cache, "1.npz"), x=np.ones(1))
+
+    atomic_cache_build(cache, build)  # must not raise
+    # the winner's cache is the one in place
+    assert sorted(os.listdir(cache)) == ["0.npz", "1.npz"]
+    import glob as g
+    assert g.glob(cache + ".building-*") == []

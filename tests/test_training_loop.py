@@ -192,3 +192,32 @@ def test_nonfinite_loss_watchdog_off_logging_boundary(tmp_path, monkeypatch):
         trainer.fit(data)
     assert os.path.exists(os.path.join(trainer.version_dir, "checkpoints",
                                        "emergency-nonfinite.ckpt"))
+
+
+@pytest.mark.slow
+def test_val_check_interval_steps(tmp_path):
+    """training.val_check_interval=N validates every N micro-steps (replacing
+    per-epoch validation) and validates the final state of the run."""
+    import csv
+
+    from peppa_tpu.data.datamodule import SyntheticPigData
+    from peppa_tpu.training.loop import Trainer
+
+    cfg = tiny_config(tmp_path)
+    cfg.training.num_sanity_val_steps = 0
+    cfg.training.limit_train_batches = 5  # 5 micro-steps per epoch
+    cfg.training.limit_val_batches = 1
+    cfg.training.max_epochs = 1
+    cfg.training.val_check_interval = 2
+    data = SyntheticPigData(cfg, n_train=20, n_val=8)
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    trainer.fit(data)
+
+    with open(os.path.join(trainer.version_dir, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    val_steps = [int(r["step"]) for r in rows if r.get("val_loss")]
+    # steps 2 and 4 from the interval, plus the final-state validation at 5
+    assert val_steps == [2, 4, 5]
+    # checkpoints exist (on_validation_end fired)
+    ckpts = os.listdir(os.path.join(trainer.version_dir, "checkpoints"))
+    assert "last.ckpt" in ckpts
