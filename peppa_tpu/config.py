@@ -38,8 +38,9 @@ class VideoConfig:
     pooling: str = "attention"  # average | attention
     static: bool = False  # True: per-frame ResNet-18 ablation
     # Round R(2+1)D midplane widths to this multiple (e.g. 128): 23% faster
-    # video trunk on the MXU; changes weight shapes, so only valid with
-    # pretrained=False (from-scratch training).
+    # video trunk on the MXU. Kinetics checkpoints import into the widened
+    # shapes via convert.py::widen_midplanes (exact zero-pad), so this works
+    # with pretrained=True as well — the bench's production config uses 128.
     midplanes_multiple: Optional[int] = None
 
 

@@ -38,12 +38,32 @@ def write_pack(path: str, clips: Iterable[Clip]) -> int:
     quantization the .npz item cache applies); audio is stored f32.
     """
     items = []
-    tmp = path + ".tmp"
+    # pid-suffixed temp names: under multi-host training every process
+    # materializes the pack (datamodule._native_train_batches), and fixed
+    # ".tmp"/".payload" names would have concurrent writers truncating each
+    # other's files mid-write.  Each writer builds privately; the atomic
+    # os.replace publish at the end makes the last finisher win with a
+    # complete, valid pack either way.
+    tmp = path + f".tmp-{os.getpid()}"
+    payload_tmp = path + f".payload-{os.getpid()}"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        n = _write_pack_to(tmp, payload_tmp, clips, items)
+    except BaseException:
+        for p in (tmp, payload_tmp):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        raise
+    os.replace(tmp, path)
+    return n
+
+
+def _write_pack_to(tmp: str, payload_tmp: str, clips: Iterable[Clip],
+                   items: list) -> int:
     with open(tmp, "wb") as f:
         f.write(b"\x00" * _HEADER.size)  # placeholder; index written later
-        payload_parts = []
-        offset = None  # computed after count is known
 
         # first pass: buffer payloads in-file after a seek once count known is
         # impossible for a streaming iterable — so collect entries and write
@@ -51,7 +71,6 @@ def write_pack(path: str, clips: Iterable[Clip]) -> int:
         # Simpler: materialize payload bytes sequentially in a second file
         # section; we must know n_items to place the index, so spool payloads
         # to a temp file and concatenate.
-        payload_tmp = path + ".payload"
         with open(payload_tmp, "wb") as pf:
             pos = 0
             for clip in clips:
@@ -82,7 +101,6 @@ def write_pack(path: str, clips: Iterable[Clip]) -> int:
                     break
                 f.write(chunk)
         os.remove(payload_tmp)
-    os.replace(tmp, path)
     return len(items)
 
 

@@ -41,14 +41,19 @@ def encode_loader(eval_step: Callable, variables, loader: Iterable,
     stream = (loader if limit_batches is None
               else itertools.islice(iter(loader), limit_batches))
     prefetcher = Prefetcher(stream, shard_fn or (lambda b: b), depth=2)
-    for batch in prefetcher:
-        v, a, loss = eval_step(variables, batch)
-        vs.append(np.asarray(v))
-        as_.append(np.asarray(a))
-        if collect_duration:
-            durs.append(np.asarray(batch.audio_duration))
-        if collect_loss:
-            losses.append(float(loss))
+    try:
+        for batch in prefetcher:
+            v, a, loss = eval_step(variables, batch)
+            vs.append(np.asarray(v))
+            as_.append(np.asarray(a))
+            if collect_duration:
+                durs.append(np.asarray(batch.audio_duration))
+            if collect_loss:
+                losses.append(float(loss))
+    finally:
+        # abandoning the iteration (eval_step raised) must not leave the
+        # worker thread spinning on its full-queue put retries forever
+        prefetcher.close()
     out = {
         "video": np.concatenate(vs) if vs else np.zeros((0, 512), np.float32),
         "audio": np.concatenate(as_) if as_ else np.zeros((0, 512), np.float32),

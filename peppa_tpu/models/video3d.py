@@ -117,8 +117,9 @@ def midplanes(c_in: int, c_out: int, multiple: Optional[int] = None) -> int:
     `multiple` rounds the width to the nearest multiple (>= multiple): the
     paper's widths (144/230/288/460/576/921...) waste MXU lanes (128-wide);
     rounding to 128 measures 23% faster on v5e with ~equal parameter count.
-    Only for from-scratch training — changes weight shapes, so torchvision
-    Kinetics checkpoints no longer import.
+    Pretrained torchvision Kinetics checkpoints import into the widened
+    shapes via the exact zero-pad adapter (convert.py::widen_midplanes), so
+    this is the production config — see bench.py.
     """
     m = (c_in * c_out * 3 * 3 * 3) // (c_in * 3 * 3 + 3 * c_out)
     if multiple:

@@ -202,6 +202,17 @@ void* ppk_open(const char* path) {
       reinterpret_cast<const uint8_t*>(base) + sizeof(PackHeader));
   for (uint64_t i = 0; i < n; ++i) {
     const ItemEntry& e = index[i];
+    // Per-factor limits BEFORE multiplying: corrupt dims like t=h=2^32 would
+    // wrap uint64 vbytes to a small value and sail past the range check,
+    // re-opening the exact worker-thread OOB memcpy this validation exists
+    // to prevent.  No real clip exceeds any of these bounds (nor does any
+    // product of them overflow 64 bits: 2^20 * 2^16 * 2^16 * 2^8 = 2^60).
+    if (e.t > (1u << 20) || e.h > (1u << 16) || e.w > (1u << 16) ||
+        e.c > (1u << 8) || e.s > (uint64_t(1) << 40)) {
+      munmap(base, st.st_size);
+      close(fd);
+      return nullptr;
+    }
     const uint64_t vbytes = uint64_t(e.t) * e.h * e.w * e.c;
     const uint64_t abytes = e.s * sizeof(float);
     if (e.video_off > size || vbytes > size - e.video_off ||

@@ -196,7 +196,13 @@ class Trainer:
             pending = None  # (micro_step, metrics) of the previous train step
             last_val_step = -1  # last micro_step a validation ran at
 
-            def validate_and_checkpoint(state, epoch, micro_step) -> None:
+            def validate_and_checkpoint(state, epoch, micro_step,
+                                        completed_epoch) -> None:
+                """`completed_epoch` is what the checkpoint meta records: the
+                last FULLY trained epoch (resume = completed_epoch + 1).  A
+                mid-epoch validation therefore records epoch-1, so a resume
+                replays the interrupted epoch — the same convention as
+                _on_preempted.  `epoch` is only the metrics-log label."""
                 nonlocal last_val_step
                 last_val_step = micro_step
                 metrics = run_validation(
@@ -206,7 +212,7 @@ class Trainer:
                 self.logger.log(metrics, step=micro_step, epoch=epoch)
                 logging.info("epoch %d validation: %s", epoch,
                              {k: round(v, 4) for k, v in metrics.items()})
-                ckpt.on_validation_end(state, metrics, epoch)
+                ckpt.on_validation_end(state, metrics, completed_epoch)
 
             if guard.triggered:
                 # preempted before the first step: the initial/restored
@@ -221,8 +227,8 @@ class Trainer:
                     import itertools
 
                     stream = itertools.islice(stream, tcfg.limit_train_batches)
-                prefetcher = Prefetcher(stream, shard_fn,
-                                        self.config.tpu.prefetch)
+                prefetcher = self._prefetcher = Prefetcher(
+                    stream, shard_fn, self.config.tpu.prefetch)
                 with self.mesh:
                     for batch in prefetcher:
                         if profile_dir and micro_step == profile_steps:
@@ -262,7 +268,8 @@ class Trainer:
                         # replaces the per-epoch validation when set)
                         if tcfg.val_check_interval and \
                                 micro_step % tcfg.val_check_interval == 0:
-                            validate_and_checkpoint(state, epoch, micro_step)
+                            validate_and_checkpoint(state, epoch, micro_step,
+                                                    completed_epoch=epoch - 1)
                         opt_steps = micro_step // accum
                         if max_opt_steps is not None \
                                 and opt_steps >= max_opt_steps:
@@ -293,7 +300,8 @@ class Trainer:
                     # ---- validation + checkpoints (per epoch, unless a
                     # step-based val_check_interval drives it instead)
                     if tcfg.val_check_interval is None:
-                        validate_and_checkpoint(state, epoch, micro_step)
+                        validate_and_checkpoint(state, epoch, micro_step,
+                                                completed_epoch=epoch)
                 epoch += 1
                 if guard.triggered and not done:
                     # preempted during validation: the epoch is complete, so
@@ -302,13 +310,29 @@ class Trainer:
                     break
             # step-based validation: make sure the FINAL state is validated
             # (and thus eligible for best-checkpoint selection) when the run
-            # ends between interval boundaries
+            # ends between interval boundaries.  `epoch` was incremented past
+            # the last (possibly partial) epoch on both exit paths, so the
+            # last fully completed epoch is epoch - 2 when the final epoch
+            # broke early and epoch - 1 when it ran to its end; recording
+            # epoch - 2 is the safe choice only for partial exits — use
+            # epoch - 1 when the loop exited on the max_epochs boundary
+            # (every epoch completed) and epoch - 2 otherwise.
             if tcfg.val_check_interval is not None and not self.preempted \
                     and last_val_step != micro_step and micro_step > 0:
+                full_epochs = (tcfg.max_epochs is not None
+                               and epoch >= tcfg.max_epochs)
                 with self.mesh:
-                    validate_and_checkpoint(state, epoch, micro_step)
+                    validate_and_checkpoint(
+                        state, epoch, micro_step,
+                        completed_epoch=epoch - 1 if full_epochs else epoch - 2)
         finally:
             guard.__exit__(None, None, None)
+            # an exception mid-epoch (e.g. NonFiniteLossError from the
+            # watchdog) skips the in-loop close; without this the worker
+            # thread spins on its full-queue put retries forever.  close()
+            # is idempotent, so the normal path pays nothing.
+            if getattr(self, "_prefetcher", None) is not None:
+                self._prefetcher.close()
 
         ckpt.wait()  # join in-flight async checkpoint writes (re-raises)
         self.logger.close()

@@ -77,6 +77,14 @@ def main(args):
     logging.info("Run directory: %s", trainer.version_dir)
     trainer.fit(data, pretrained_loader=pretrained_loader_from_config(config),
                 resume_from=resume_from)
+    if auto_resumed:
+        # Retire the checkpoint this run resumed from — ALSO on re-preemption
+        # (the trainer just wrote its own, newer preempted.ckpt, so the old
+        # one is superseded; leaving it would let a future FRESH submission
+        # of this config silently resume a months-old chain link).
+        from peppa_tpu.training.checkpoint import consume_preempted_checkpoint
+
+        consume_preempted_checkpoint(resume_from)
     if trainer.preempted:
         # EX_TEMPFAIL: the run was preempted after saving
         # checkpoints/preempted.ckpt — requeue (jobarray.sh does) and this
@@ -84,12 +92,6 @@ def main(args):
         import sys
 
         sys.exit(75)
-    if auto_resumed:
-        # completed: retire the consumed checkpoint so a future fresh
-        # submission of this config does not silently resume it
-        from peppa_tpu.training.checkpoint import consume_preempted_checkpoint
-
-        consume_preempted_checkpoint(resume_from)
 
 
 if __name__ == "__main__":

@@ -20,12 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/peppa_jax"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 
 def main():

@@ -9,12 +9,9 @@ from peppa_tpu.training.optimization import make_optimizer
 from peppa_tpu.training.state import TrainState
 from peppa_tpu.ops.loss import triplet_loss
 
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/peppa_jax"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 K = 4

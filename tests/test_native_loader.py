@@ -101,6 +101,32 @@ def test_native_pack_rejects_corrupt_files(tmp_path, rng):
     with pytest.raises(IOError):
         NativePack(badmagic)
 
+    # dims whose uint64 product WRAPS to a small value: t=h=2^31 makes
+    # t*h*w*c ≡ small (mod 2^64), sailing past a naive range check while the
+    # assemble memcpy would still read far out of bounds — the validator's
+    # per-factor limits must reject it
+    overflow = bytearray(blob)
+    vals = list(entry.unpack_from(overflow, 16))
+    vals[1] = 2 ** 31  # t
+    vals[2] = 2 ** 31  # h
+    vals[3] = 2  # w
+    vals[4] = 1  # c -> product = 2^63 * ... wraps
+    entry.pack_into(overflow, 16, *vals)
+    ovfpath = str(tmp_path / "overflow.pack")
+    open(ovfpath, "wb").write(bytes(overflow))
+    with pytest.raises(IOError):
+        NativePack(ovfpath)
+
+    # audio length wrapping abytes = s * 4
+    aovf = bytearray(blob)
+    vals = list(entry.unpack_from(aovf, 16))
+    vals[6] = 2 ** 62  # s: abytes wraps to 0
+    entry.pack_into(aovf, 16, *vals)
+    aovfpath = str(tmp_path / "aovf.pack")
+    open(aovfpath, "wb").write(bytes(aovf))
+    with pytest.raises(IOError):
+        NativePack(aovfpath)
+
     # the pristine file still opens
     assert len(NativePack(path)) == len(clips)
 

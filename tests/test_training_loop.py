@@ -221,3 +221,11 @@ def test_val_check_interval_steps(tmp_path):
     # checkpoints exist (on_validation_end fired)
     ckpts = os.listdir(os.path.join(trainer.version_dir, "checkpoints"))
     assert "last.ckpt" in ckpts
+    # resume-epoch semantics: the final validation ran after epoch 0 fully
+    # completed, so meta records epoch 0 (resume = epoch 1); a mid-epoch
+    # checkpoint would record -1 so a resume replays the interrupted epoch
+    import json
+
+    with open(os.path.join(trainer.version_dir, "checkpoints",
+                           "last.ckpt.json")) as f:
+        assert json.load(f)["epoch"] == 0
