@@ -254,13 +254,37 @@ def glove_text_embedder(path: Optional[str] = None, dim: int = 300,
     return embed
 
 
+_ST_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
+
+
+def _st_model_cached(name: str = _ST_MODEL) -> bool:
+    """True iff the HF snapshot for `name` already exists on disk.
+
+    Checked BEFORE importing sentence_transformers: the import alone costs
+    ~30 s of torch/transformers loading on this host, and constructing the
+    model without a local snapshot stalls on hub retries (no egress here) —
+    so absence must be decided from the filesystem, not from an exception.
+    """
+    hub = os.environ.get("HF_HUB_CACHE") or os.path.join(
+        os.environ.get("HF_HOME")
+        or os.path.expanduser("~/.cache/huggingface"), "hub")
+    snap = os.path.join(hub, "models--" + name.replace("/", "--"), "snapshots")
+    return os.path.isdir(snap) and bool(os.listdir(snap))
+
+
 def sentence_transformer_embedder() -> Optional[Callable]:
+    if not _st_model_cached():
+        logging.warning("SentenceTransformer unavailable: no local snapshot "
+                        "of %s (offline image)", _ST_MODEL)
+        return None
     try:
+        # never touch the network, even for revision checks on a cached model
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
         from sentence_transformers import SentenceTransformer
 
-        encoder = SentenceTransformer("sentence-transformers/all-MiniLM-L6-v2")
+        encoder = SentenceTransformer(_ST_MODEL, local_files_only=True)
         return lambda text: np.asarray(encoder.encode([text])[0])
-    except Exception as e:  # model files absent / no egress
+    except Exception as e:  # corrupt/partial snapshot
         logging.warning("SentenceTransformer unavailable: %s", e)
         return None
 
