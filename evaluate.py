@@ -18,8 +18,10 @@ def get_args():
 
 
 if __name__ == "__main__":
-    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    from peppa_tpu.utils.compile_cache import (
+        apply_platform_override, enable_persistent_compilation_cache)
 
+    apply_platform_override()
     enable_persistent_compilation_cache()
     args = get_args()
     E.full_run(versions=args.versions, log_dir=args.log_dir,

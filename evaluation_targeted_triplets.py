@@ -327,7 +327,9 @@ def main():
 
 
 if __name__ == "__main__":
-    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    from peppa_tpu.utils.compile_cache import (
+        apply_platform_override, enable_persistent_compilation_cache)
 
+    apply_platform_override()
     enable_persistent_compilation_cache()
     main()

@@ -227,8 +227,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     # a multi-minute export over a tunneled link must not sit silent
     logging.getLogger().setLevel(logging.INFO)
-    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    from peppa_tpu.utils.compile_cache import (
+        apply_platform_override, enable_persistent_compilation_cache)
 
+    apply_platform_override()
     enable_persistent_compilation_cache()
 
     from peppa_tpu.training.checkpoint import load_best_model

@@ -13,6 +13,23 @@ from __future__ import annotations
 import os
 
 
+def apply_platform_override(env: str = "PEPPA_PLATFORM") -> None:
+    """Honor PEPPA_PLATFORM=cpu|tpu|... for CLI runs.
+
+    A site-loaded TPU plugin pins `jax_platforms` at import time, so the
+    plain JAX_PLATFORMS env var is silently ignored on such hosts; this
+    applies the user's choice at the jax.config level instead.  Must run
+    before any backend is initialized (every CLI calls it first thing).
+    Useful for CPU smoke runs on a TPU host — e.g. while the chip is busy
+    with a long training job.
+    """
+    plat = os.environ.get(env)
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_persistent_compilation_cache() -> None:
     """Point JAX at a persistent on-disk compile cache (idempotent, best-effort).
 

@@ -25,8 +25,10 @@ def get_git_commit():
 def main(args):
     logging.getLogger().setLevel(logging.INFO)
     # persistent compile cache: restarts and repeat configs skip XLA compiles
-    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    from peppa_tpu.utils.compile_cache import (
+        apply_platform_override, enable_persistent_compilation_cache)
 
+    apply_platform_override()
     enable_persistent_compilation_cache()
     if args.config_file is None:
         config = C.default_config()
