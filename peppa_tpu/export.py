@@ -219,10 +219,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     p = argparse.ArgumentParser(description=main.__doc__)
     p.add_argument("version_dir")
-    p.add_argument("out_dir")
+    p.add_argument("out_dir", nargs="?", default=None)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--platforms", nargs="*", default=None,
                    help="e.g. --platforms tpu cpu for a cross-platform artifact")
+    p.add_argument("--reference_ckpt", metavar="PATH", default=None,
+                   help="instead of StableHLO artifacts, write the best "
+                        "checkpoint as a reference-compatible Lightning "
+                        ".ckpt (torch tensors, pig/models.py naming)")
     args = p.parse_args(argv)
 
     # a multi-minute export over a tunneled link must not sit silent
@@ -236,6 +240,26 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from peppa_tpu.training.checkpoint import load_best_model
 
     model, variables, config, ckpt_path = load_best_model(args.version_dir)
+    if args.reference_ckpt:
+        from peppa_tpu.models.convert import save_reference_checkpoint
+
+        monitor = score = None
+        epoch = 0
+        sidecar = ckpt_path + ".json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                meta = json.load(f)
+            monitor = meta.get("monitor")
+            score = meta.get("best_model_score")
+            epoch = meta.get("epoch", 0)
+        save_reference_checkpoint(args.reference_ckpt, variables, config,
+                                  epoch=epoch, monitor=monitor, score=score)
+        print(json.dumps({"reference_ckpt": args.reference_ckpt,
+                          "from": ckpt_path, "monitor": monitor,
+                          "score": score}))
+        return
+    if args.out_dir is None:
+        p.error("out_dir is required unless --reference_ckpt is given")
     logging.info("exporting %s -> %s", ckpt_path, args.out_dir)
     manifest = export_encoders(model, variables, config, args.out_dir,
                                batch_size=args.batch_size,

@@ -666,3 +666,337 @@ def pretrained_loader_from_config(config) -> Optional[Callable]:
         return variables
 
     return load
+
+
+# ------------------------------------------- reverse direction: JAX -> torch
+
+def _t(a) -> "Any":
+    import torch
+
+    return torch.tensor(np.asarray(a, dtype=np.float32))
+
+
+def linear_inv(k) -> "Any":
+    return _t(np.asarray(k).T)  # (I,O) -> (O,I)
+
+
+def conv1d_inv(k) -> "Any":
+    return _t(np.transpose(np.asarray(k), (2, 1, 0)))  # (K,I,O) -> (O,I,K)
+
+
+def conv2d_inv(k) -> "Any":
+    return _t(np.transpose(np.asarray(k), (3, 2, 0, 1)))  # (H,W,I,O) -> (O,I,H,W)
+
+
+def conv3d_inv(k) -> "Any":
+    # (T,H,W,I,O) -> (O,I,T,H,W)
+    return _t(np.transpose(np.asarray(k), (4, 3, 0, 1, 2)))
+
+
+def _export_bn(out: Dict[str, Any], prefix: str, bn_p: Dict[str, Any],
+               bn_s: Dict[str, Any]) -> None:
+    import torch
+
+    out[f"{prefix}.weight"] = _t(bn_p["scale"])
+    out[f"{prefix}.bias"] = _t(bn_p["bias"])
+    out[f"{prefix}.running_mean"] = _t(bn_s["mean"])
+    out[f"{prefix}.running_var"] = _t(bn_s["var"])
+    out[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+
+def _export_attention_pool(out: Dict[str, Any], prefix: str,
+                           pool: Dict[str, Any]) -> None:
+    """Inverse of _attention_pool: our AttentionPool tree -> reference
+    Attention module keys (pig/models.py:30-43)."""
+    out[f"{prefix}hidden.weight"] = linear_inv(pool["hidden"]["kernel"])
+    out[f"{prefix}hidden.bias"] = _t(pool["hidden"]["bias"])
+    out[f"{prefix}out.weight"] = linear_inv(pool["out"]["kernel"])
+    out[f"{prefix}out.bias"] = _t(pool["out"]["bias"])
+
+
+def export_wav2vec2_torchaudio(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Our Wav2Vec2 trunk param tree -> torchaudio state-dict names.
+
+    Exact inverse of convert_wav2vec2_torchaudio (the naming inside a
+    reference-trained PeppaPig Lightning checkpoint, pig/models.py:66-74).
+    Weight-norm pos-conv is written as `weight_g`/`weight_v` — the naming of
+    the reference's torch 1.9 (newer torch's legacy `nn.utils.weight_norm`
+    still produces and accepts these keys).
+    """
+    out: Dict[str, Any] = {}
+    fe = p["feature_extractor"]
+    i = 0
+    while f"conv{i}" in fe:
+        out[f"feature_extractor.conv_layers.{i}.conv.weight"] = \
+            conv1d_inv(fe[f"conv{i}"]["kernel"])
+        i += 1
+    if "group_norm" in fe:
+        out["feature_extractor.conv_layers.0.layer_norm.weight"] = \
+            _t(fe["group_norm"]["scale"])
+        out["feature_extractor.conv_layers.0.layer_norm.bias"] = \
+            _t(fe["group_norm"]["bias"])
+
+    if "proj_ln" in p:
+        fp = "encoder.feature_projection"
+        out[f"{fp}.layer_norm.weight"] = _t(p["proj_ln"]["scale"])
+        out[f"{fp}.layer_norm.bias"] = _t(p["proj_ln"]["bias"])
+        out[f"{fp}.projection.weight"] = linear_inv(p["proj"]["kernel"])
+        out[f"{fp}.projection.bias"] = _t(p["proj"]["bias"])
+
+    if "pos_conv" in p:
+        pc = "encoder.transformer.pos_conv_embed.conv"
+        out[f"{pc}.weight_v"] = _t(np.transpose(
+            np.asarray(p["pos_conv"]["pos_conv_v"]), (2, 1, 0)))
+        out[f"{pc}.weight_g"] = _t(np.transpose(
+            np.asarray(p["pos_conv"]["pos_conv_g"]), (2, 1, 0)))
+        out[f"{pc}.bias"] = _t(p["pos_conv"]["pos_conv_bias"])
+    if "encoder_ln" in p:
+        out["encoder.transformer.layer_norm.weight"] = \
+            _t(p["encoder_ln"]["scale"])
+        out["encoder.transformer.layer_norm.bias"] = _t(p["encoder_ln"]["bias"])
+
+    i = 0
+    while f"layer{i}" in p:
+        lp = p[f"layer{i}"]
+        pre = f"encoder.transformer.layers.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            out[f"{pre}.attention.{name}.weight"] = \
+                linear_inv(lp["attention"][name]["kernel"])
+            out[f"{pre}.attention.{name}.bias"] = \
+                _t(lp["attention"][name]["bias"])
+        out[f"{pre}.layer_norm.weight"] = _t(lp["ln1"]["scale"])
+        out[f"{pre}.layer_norm.bias"] = _t(lp["ln1"]["bias"])
+        out[f"{pre}.feed_forward.intermediate_dense.weight"] = \
+            linear_inv(lp["ffn_in"]["kernel"])
+        out[f"{pre}.feed_forward.intermediate_dense.bias"] = \
+            _t(lp["ffn_in"]["bias"])
+        out[f"{pre}.feed_forward.output_dense.weight"] = \
+            linear_inv(lp["ffn_out"]["kernel"])
+        out[f"{pre}.feed_forward.output_dense.bias"] = _t(lp["ffn_out"]["bias"])
+        out[f"{pre}.final_layer_norm.weight"] = _t(lp["ln2"]["scale"])
+        out[f"{pre}.final_layer_norm.bias"] = _t(lp["ln2"]["bias"])
+        i += 1
+    if "aux" in p:
+        out["aux.weight"] = linear_inv(p["aux"]["kernel"])
+        out["aux.bias"] = _t(p["aux"]["bias"])
+    return out
+
+
+def export_video_resnet(p: Dict[str, Any], s: Dict[str, Any], version: str,
+                        prefix: str) -> Dict[str, Any]:
+    """Our video trunk (params, batch_stats) -> torchvision VideoResNet keys.
+
+    Exact inverse of convert_video_resnet.  The unused classifier head the
+    reference's state_dict carries (torchvision fc, 400-way Kinetics) is
+    emitted as zeros — the reference never runs it (pig/models.py:141-150).
+    """
+    import torch
+
+    out: Dict[str, Any] = {}
+    if version == "r2plus1d_18":
+        out[f"{prefix}stem.0.weight"] = conv3d_inv(p["stem_spatial"]["kernel"])
+        _export_bn(out, f"{prefix}stem.1", p["stem_bn1"]["bn"],
+                   s["stem_bn1"]["bn"])
+        out[f"{prefix}stem.3.weight"] = conv3d_inv(p["stem_temporal"]["kernel"])
+        _export_bn(out, f"{prefix}stem.4", p["stem_bn2"]["bn"],
+                   s["stem_bn2"]["bn"])
+    else:
+        out[f"{prefix}stem.0.weight"] = conv3d_inv(p["stem"]["kernel"])
+        _export_bn(out, f"{prefix}stem.1", p["stem_bn"]["bn"],
+                   s["stem_bn"]["bn"])
+
+    for li in range(1, 5):
+        for bi in range(2):
+            name = f"layer{li}_block{bi}"
+            bp, bs = p[name], s[name]
+            dst = f"{prefix}layer{li}.{bi}"
+            if version == "r2plus1d_18":
+                for conv in ("conv1", "conv2"):
+                    out[f"{dst}.{conv}.0.0.weight"] = \
+                        conv3d_inv(bp[conv]["spatial"]["kernel"])
+                    _export_bn(out, f"{dst}.{conv}.0.1",
+                               bp[conv]["bn_mid"]["bn"],
+                               bs[conv]["bn_mid"]["bn"])
+                    out[f"{dst}.{conv}.0.3.weight"] = \
+                        conv3d_inv(bp[conv]["temporal"]["kernel"])
+            else:
+                out[f"{dst}.conv1.0.weight"] = \
+                    conv3d_inv(bp["conv1"]["conv"]["kernel"])
+                out[f"{dst}.conv2.0.weight"] = \
+                    conv3d_inv(bp["conv2"]["conv"]["kernel"])
+            _export_bn(out, f"{dst}.conv1.1", bp["bn1"]["bn"], bs["bn1"]["bn"])
+            _export_bn(out, f"{dst}.conv2.1", bp["bn2"]["bn"], bs["bn2"]["bn"])
+            if "downsample" in bp:
+                out[f"{dst}.downsample.0.weight"] = \
+                    conv3d_inv(bp["downsample"]["kernel"])
+                _export_bn(out, f"{dst}.downsample.1", bp["bn_down"]["bn"],
+                           bs["bn_down"]["bn"])
+    out[f"{prefix}fc.weight"] = torch.zeros(400, 512)
+    out[f"{prefix}fc.bias"] = torch.zeros(400)
+    return out
+
+
+def export_resnet18(p: Dict[str, Any], s: Dict[str, Any],
+                    prefix: str) -> Dict[str, Any]:
+    """Our static trunk -> torchvision resnet18 keys (inverse of
+    convert_resnet18).  The frozen ImageNet fc head (pig/models.py:164-166)
+    is emitted as zeros."""
+    import torch
+
+    out: Dict[str, Any] = {f"{prefix}conv1.weight":
+                           conv2d_inv(p["stem_conv"]["kernel"])}
+    _export_bn(out, f"{prefix}bn1", p["stem_bn"]["bn"], s["stem_bn"]["bn"])
+    for li in range(1, 5):
+        for bi in range(2):
+            name = f"layer{li}_block{bi}"
+            bp, bs = p[name], s[name]
+            dst = f"{prefix}layer{li}.{bi}"
+            out[f"{dst}.conv1.weight"] = conv2d_inv(bp["conv1"]["kernel"])
+            out[f"{dst}.conv2.weight"] = conv2d_inv(bp["conv2"]["kernel"])
+            _export_bn(out, f"{dst}.bn1", bp["bn1"], bs["bn1"])
+            _export_bn(out, f"{dst}.bn2", bp["bn2"], bs["bn2"])
+            if "downsample" in bp:
+                out[f"{dst}.downsample.0.weight"] = \
+                    conv2d_inv(bp["downsample"]["kernel"])
+                _export_bn(out, f"{dst}.downsample.1", bp["bn_down"],
+                           bs["bn_down"])
+    out[f"{prefix}fc.weight"] = torch.zeros(1000, 512)
+    out[f"{prefix}fc.bias"] = torch.zeros(1000)
+    return out
+
+
+def export_peppa_state_dict(variables: Dict[str, Any], config
+                            ) -> Dict[str, Any]:
+    """Our trained variables -> a reference-format PeppaPig state_dict.
+
+    Exact inverse of convert_peppa_state_dict: a model trained on this
+    framework round-trips into the reference's Lightning checkpoint naming
+    (pig/models.py:223-235), so reference tooling — or any torch stack —
+    can consume it.  Verified key-for-key against reference-style torch
+    modules in tests/test_checkpoint_export.py.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, Any] = {}
+
+    # ---------------------------------------------------------- audio tower
+    a = params["audio_encoder"]
+    if not config.audio.full:
+        raise ValueError(
+            "export requires audio.full=True: a full=False model never "
+            "instantiates the transformer, but the reference's torchaudio "
+            "wrapper always holds one (pig/models.py:74,85-86) — there are "
+            "no trained weights to write for it")
+    for k, v in export_wav2vec2_torchaudio(a["wav2vec2"]).items():
+        out[f"audio_encoder.audio.{k}"] = v
+    if config.audio.pooling == "attention":
+        _export_attention_pool(out, "audio_encoder.audiopool.",
+                               a["AttentionPool_0"])
+    if config.audio.project and "project" in a:
+        out["audio_encoder.project.weight"] = linear_inv(a["project"]["kernel"])
+        out["audio_encoder.project.bias"] = _t(a["project"]["bias"])
+
+    # ---------------------------------------------------------- video tower
+    v = params["video_encoder"]
+    vs = stats.get("video_encoder", {})
+    if config.video.static:
+        for k, t in export_resnet18(v["trunk"], vs["trunk"],
+                                    "").items():
+            out[f"video_encoder.image.{k}"] = t
+        if config.video.pooling == "attention":
+            _export_attention_pool(out, "video_encoder.pool.", v["pool"])
+    else:
+        trunk_p, trunk_s = v["trunk"], vs["trunk"]
+        if config.video.midplanes_multiple:
+            # shrink the MXU-widened mid channels back to the torchvision
+            # widths (midplanes multiple=1 == the paper formula); the
+            # widened->standard direction drops the lowest-importance
+            # channels (see widen_midplanes) and is approximate
+            trunk_p, trunk_s = widen_midplanes(trunk_p, trunk_s, 1)
+        for k, t in export_video_resnet(trunk_p, trunk_s,
+                                        config.video.version, "").items():
+            out[f"video_encoder.video.{k}"] = t
+        if config.video.pooling == "attention":
+            _export_attention_pool(out, "video_encoder.videopool.attn.",
+                                   v["VideoAttentionPool_0"]["attn"])
+    if config.video.project and "project" in v:
+        out["video_encoder.project.weight"] = linear_inv(v["project"]["kernel"])
+        out["video_encoder.project.bias"] = _t(v["project"]["bias"])
+    return out
+
+
+def _model_checkpoint_class():
+    """The class Lightning keys checkpoint callback state by.
+
+    Without pytorch_lightning installed, registers a stub with the real
+    module path/qualname so the PICKLE records the canonical reference
+    (`pytorch_lightning.callbacks.model_checkpoint.ModelCheckpoint`) — a
+    machine that has Lightning resolves it to the real class.  Returns
+    (cls, module_names_to_clean_up).
+    """
+    try:
+        from pytorch_lightning.callbacks.model_checkpoint import \
+            ModelCheckpoint  # type: ignore
+        return ModelCheckpoint, []
+    except ImportError:
+        import sys
+        import types
+
+        names = ("pytorch_lightning", "pytorch_lightning.callbacks",
+                 "pytorch_lightning.callbacks.model_checkpoint")
+        created = []
+        for name in names:
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+                created.append(name)
+
+        class ModelCheckpoint:  # noqa: N801 - mirrors the Lightning name
+            pass
+
+        ModelCheckpoint.__module__ = names[-1]
+        ModelCheckpoint.__qualname__ = "ModelCheckpoint"
+        sys.modules[names[-1]].ModelCheckpoint = ModelCheckpoint
+        return ModelCheckpoint, created
+
+
+def save_reference_checkpoint(path: str, variables: Dict[str, Any], config,
+                              *, epoch: int = 0, global_step: int = 0,
+                              monitor: Optional[str] = None,
+                              score: Optional[float] = None) -> str:
+    """Write a reference-compatible Lightning `.ckpt` of our trained model.
+
+    The blob carries the same top-level schema the reference's evaluation
+    flow reads (pig/evaluation.py:42-53): `state_dict` (torch tensors,
+    reference naming), `hyper_parameters` (the reference YAML config schema,
+    models.py:227), `epoch`/`global_step`, and — when `monitor`/`score` are
+    given — a ModelCheckpoint callbacks entry so best-checkpoint ranking
+    works on either framework.  Loads back via load_peppa_checkpoint (tested
+    round-trip-exact) or via torch on a reference install.
+    """
+    import sys
+
+    import torch
+
+    state = export_peppa_state_dict(variables, config)
+    hparams = {k: v for k, v in config.to_dict().items() if k != "tpu"}
+    blob: Dict[str, Any] = {
+        "state_dict": state,
+        "hyper_parameters": hparams,
+        "epoch": int(epoch),
+        "global_step": int(global_step),
+    }
+    cleanup: list = []
+    try:
+        if monitor is not None and score is not None:
+            cls, cleanup = _model_checkpoint_class()
+            blob["callbacks"] = {cls: {
+                "monitor": monitor,
+                "best_model_score": torch.tensor(float(score)),
+                "best_model_path": os.path.abspath(path),
+            }}
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        torch.save(blob, path)
+    finally:
+        for name in cleanup:
+            sys.modules.pop(name, None)
+    return path
