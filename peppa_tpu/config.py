@@ -132,6 +132,12 @@ class TPUConfig:
     # on receipt the Trainer saves checkpoints/preempted.ckpt at the next
     # step boundary and stops cleanly (training/preemption.py)
     preempt_signals: Sequence[str] = ("SIGTERM", "SIGUSR1")
+    # host-memory watchdog (utils/host_memory.py): when process RSS crosses
+    # this many GiB between train steps, recycle the device session to
+    # reclaim host memory the axon tunnel plugin retains per transfer
+    # (bit-exact, verified on hardware; a 2 h soak was OOM-killed at 119 GB
+    # without it).  None disables; platforms without the plugin only warn.
+    host_rss_recycle_gb: Optional[float] = 48.0
 
 
 @dataclass

@@ -34,8 +34,19 @@ class EncoderService:
     def __init__(self, model, variables, config: Config,
                  batch_size: int = 32,
                  buckets: Optional[Sequence[float]] = None,
-                 fps: float = 10.0):
+                 fps: float = 10.0,
+                 host_rss_recycle_gb: Optional[float] = None):
         import jax
+
+        from peppa_tpu.utils.host_memory import HostMemoryWatchdog
+
+        # long-running servers on the axon tunnel leak one batch of host RAM
+        # per request batch (PERF.md "Host-memory leak"); the watchdog
+        # recycles the device session between chunks.  None inherits the
+        # config's training-loop threshold.
+        self._mem_watchdog = HostMemoryWatchdog(
+            host_rss_recycle_gb if host_rss_recycle_gb is not None
+            else config.tpu.host_rss_recycle_gb)
 
         self.model = model
         self.variables = variables
@@ -118,6 +129,10 @@ class EncoderService:
             by_bucket.setdefault(bucket_of(item), []).append(i)
         for size, idxs in by_bucket.items():
             for lo in range(0, len(idxs), self.batch_size):
+                if self._mem_watchdog.check():
+                    self.variables = self._mem_watchdog.recycler.recycle(
+                        self.variables)
+                    self._mem_watchdog.note_recycled()
                 chunk = idxs[lo:lo + self.batch_size]
                 batch = np.zeros(
                     (self.batch_size,) + pad_shape(size, items[chunk[0]]),

@@ -31,6 +31,7 @@ from peppa_tpu.parallel.mesh import (make_mesh, replicate_batch,
                                      replicate_tree, shard_batch,
                                      state_shardings)
 from peppa_tpu.utils import dist
+from peppa_tpu.utils.host_memory import HostMemoryWatchdog, host_rss_bytes
 from peppa_tpu.utils.prefetch import Prefetcher
 from peppa_tpu.training.checkpoint import CheckpointManager, next_version, save_hparams
 from peppa_tpu.training.loggers import MetricsLogger
@@ -195,6 +196,7 @@ class Trainer:
 
             pending = None  # (micro_step, metrics) of the previous train step
             last_val_step = -1  # last micro_step a validation ran at
+            mem_watchdog = HostMemoryWatchdog(cfg.tpu.host_rss_recycle_gb)
 
             def validate_and_checkpoint(state, epoch, micro_step,
                                         completed_epoch) -> None:
@@ -258,11 +260,36 @@ class Trainer:
                                 {"train_loss": loss,
                                  "lr": float(np.asarray(lr_at(
                                      np.int32(micro_step // accum)))),
-                                 **timer.metrics()},
+                                 **timer.metrics(),
+                                 "perf/host_rss_gb": round(
+                                     host_rss_bytes() / (1 << 30), 3)},
                                 step=micro_step, epoch=epoch)
                             logging.info("epoch %d step %d loss %.4f "
                                          "(%.1f clips/s)", epoch, micro_step,
                                          loss, timer.items_per_sec)
+                        # host-memory watchdog (SURVEY.md §5.3): the axon
+                        # tunnel retains one batch of host RAM per transfer;
+                        # recycle the device session between steps before
+                        # the OS OOM-kills the run.  Bit-exact (verified on
+                        # hardware: state round-trips through the host,
+                        # executables rebind, pending batches re-transfer).
+                        if mem_watchdog.check():
+                            if pending is not None:
+                                self._watchdog(
+                                    float(pending[1]["train_loss"]),
+                                    pending[0], state, epoch)
+                                pending = None
+                            ckpt.wait()  # in-flight saves hold device refs
+                            rss0 = host_rss_bytes()
+                            with prefetcher.recycling():
+                                state, step_rng = mem_watchdog.recycler.recycle(
+                                    (state, step_rng))
+                            mem_watchdog.note_recycled()
+                            logging.info(
+                                "session recycle at step %d: host RSS "
+                                "%.1f -> %.1f GB", micro_step,
+                                rss0 / (1 << 30),
+                                host_rss_bytes() / (1 << 30))
                         # mid-epoch validation every N micro-steps
                         # (training.val_check_interval, Lightning semantics:
                         # replaces the per-epoch validation when set)

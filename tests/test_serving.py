@@ -71,3 +71,29 @@ def test_video_dtype_canonicalized_to_uint8(service, rng):
     mixed = service.embed_video([f32, u8])
     np.testing.assert_allclose(mixed[0], emb_u8[0], atol=1e-5)
     np.testing.assert_allclose(mixed[1], emb_u8[0], atol=1e-5)
+
+
+def test_serving_recycle_preserves_embeddings(service, rng):
+    """A host-memory session recycle between chunks must not change results
+    (utils/host_memory.py; on CPU the recycler is a plain host round trip)."""
+    import jax as _jax
+
+    waves = [rng.normal(size=(s,)).astype(np.float32) for s in (200, 400)]
+    before = service.embed_audio(waves)
+
+    class HostRoundTrip:
+        available = True
+
+        def recycle(self, tree):
+            return _jax.device_put(_jax.device_get(tree))
+
+    calls = []
+    service._mem_watchdog.recycler = HostRoundTrip()
+    service._mem_watchdog.limit_bytes = 1  # always over: recycle every chunk
+    service._mem_watchdog.note_recycled = lambda: calls.append(1)
+    try:
+        after = service.embed_audio(waves)
+    finally:
+        service._mem_watchdog.limit_bytes = None
+    assert calls
+    np.testing.assert_array_equal(before, after)
