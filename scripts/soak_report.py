@@ -54,9 +54,16 @@ def schedule(name: str, lr: float, warmup: float, t_total: int, step: int) -> fl
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("run_dir", nargs="?", default="lightning_logs/version_0")
+    ap.add_argument("run_dirs", nargs="*",
+                    default=["lightning_logs/version_0"],
+                    help="run dir, or a RESUME CHAIN of run dirs in order "
+                         "(a --resume_from/--auto_resume continuation logs "
+                         "into a fresh version dir; rows an earlier run "
+                         "logged past the checkpoint its successor resumed "
+                         "from are superseded and dropped)")
     args = ap.parse_args()
-    rd = args.run_dir
+    rds = args.run_dirs
+    rd = rds[-1]  # hparams + display name come from the live end of the chain
 
     with open(os.path.join(rd, "hparams.yaml")) as f:
         hp = yaml.safe_load(f)
@@ -64,8 +71,23 @@ def main() -> int:
     accum = max(int(hp["training"]["trainer_args"].get(
         "accumulate_grad_batches", 1)), 1)
 
-    with open(os.path.join(rd, "metrics.csv")) as f:
-        rows = list(csv.DictReader(f))
+    per_dir_rows = []
+    for d in rds:
+        with open(os.path.join(d, "metrics.csv")) as f:
+            per_dir_rows.append(list(csv.DictReader(f)))
+    rows = []
+    wall = 0.0
+    for i, dir_rows in enumerate(per_dir_rows):
+        if not dir_rows:
+            continue
+        cutoff = None
+        if i + 1 < len(per_dir_rows) and per_dir_rows[i + 1]:
+            cutoff = int(per_dir_rows[i + 1][0]["step"])
+        kept = [r for r in dir_rows
+                if cutoff is None or int(r["step"]) < cutoff]
+        if kept:
+            wall += float(kept[-1]["time"]) - float(dir_rows[0]["time"])
+            rows.extend(kept)
     if not rows:
         print("metrics.csv is empty"); return 1
 
@@ -80,12 +102,12 @@ def main() -> int:
                        if k.startswith("val") and v not in ("", None)})
     vals = [r for r in rows if any(r.get(c) not in ("", None) for c in val_cols)]
 
-    t0, t1 = float(rows[0]["time"]), float(rows[-1]["time"])
     last_step = int(rows[-1]["step"])
-    print(f"# Soak report: {rd}\n")
+    print(f"# Soak report: {' -> '.join(rds)}\n")
     print(f"- micro-steps logged: {train[0][0]}..{last_step} "
           f"(optimizer steps ≈ {last_step // accum}, accum={accum})")
-    print(f"- wall: {(t1 - t0) / 3600:.2f} h over {len(rows)} logged rows")
+    print(f"- wall: {wall / 3600:.2f} h over {len(rows)} logged rows"
+          + (f" across {len(rds)} resume-chain runs" if len(rds) > 1 else ""))
     ips = [t[3] for t in train if t[3] is not None]
     if ips:
         print(f"- throughput: mean {sum(ips)/len(ips):.1f} / "
@@ -113,20 +135,29 @@ def main() -> int:
           f"warmup={opt['warmup']}, t_total={opt['t_total']}) "
           f"at step//accum (max err {lr_err:.2e})")
 
-    # ---- checkpoints
-    cdir = os.path.join(rd, "checkpoints")
-    cpts = sorted(glob.glob(os.path.join(cdir, "*.ckpt")))
-    metas = {}
-    for p in cpts:
-        mp = p + ".json"
-        metas[os.path.basename(p)] = (json.load(open(mp))
-                                      if os.path.exists(mp) else {})
+    # ---- checkpoints: audit across the whole chain (the best checkpoint
+    # for a monitor may live in an earlier run's dir when the resumed run
+    # never beat the restored score)
+    cpts, metas = [], {}
+    for d in rds:
+        for p in sorted(glob.glob(os.path.join(d, "checkpoints", "*.ckpt"))):
+            cpts.append(p)
+            mp = p + ".json"
+            metas[os.path.basename(p)] = (json.load(open(mp))
+                                          if os.path.exists(mp) else {})
     have_last = any(os.path.basename(p) == "last.ckpt" for p in cpts)
     check(have_last or not vals,
           "last.ckpt present" if have_last else
           "last.ckpt absent (ok only if no validation ran yet)")
-    monitored = {m.get("monitor"): (name, m) for name, m in metas.items()
-                 if m.get("monitor")}
+    monitored = {}
+    for name, m in metas.items():
+        mon = m.get("monitor")
+        if not mon:
+            continue
+        prev = monitored.get(mon)
+        if prev is None or (m.get("best_model_score") or -1e30) > \
+                (prev[1].get("best_model_score") or -1e30):
+            monitored[mon] = (name, m)
     for mon in ("valnarr_rec_fixed", "valnarr_triplet"):
         if mon not in monitored:
             check(not vals, f"monitor {mon}: no best checkpoint "
