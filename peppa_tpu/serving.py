@@ -35,7 +35,12 @@ class EncoderService:
                  batch_size: int = 32,
                  buckets: Optional[Sequence[float]] = None,
                  fps: float = 10.0,
-                 host_rss_recycle_gb: Optional[float] = None):
+                 host_rss_recycle_gb: Optional[float] = None,
+                 mesh=None):
+        """`mesh`: a jax.sharding.Mesh to serve on — request batches shard
+        over its 'data' axis (each device encodes batch_size/n_data rows;
+        XLA partitions the towers), with params replicated.  batch_size
+        must divide evenly over the data axis.  None: single device."""
         import jax
 
         from peppa_tpu.utils.host_memory import HostMemoryWatchdog
@@ -58,6 +63,20 @@ class EncoderService:
         self.sample_rate = config.data.audio_sample_rate
         w, h = config.data.target_size
         self._hw = (h, w)
+
+        self._batch_sharding = None
+        if mesh is not None and "data" in mesh.shape \
+                and mesh.shape["data"] > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the mesh's "
+                    f"data axis ({mesh.shape['data']})")
+            # rows shard over 'data' regardless of rank; params replicate
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(mesh, PartitionSpec()))
 
         @functools.partial(jax.jit, static_argnames=())
         def _audio(vs, audio):
@@ -102,10 +121,16 @@ class EncoderService:
         return int(round(self.buckets[-1] * self.fps))
 
     # ------------------------------------------------------------- warmup
-    def warmup(self) -> None:
-        """Compile every (bucket, full-batch) program before serving."""
+    def _to_device(self, batch: np.ndarray):
+        import jax
         import jax.numpy as jnp
 
+        if self._batch_sharding is not None:
+            return jax.device_put(batch, self._batch_sharding)
+        return jnp.asarray(batch)
+
+    def warmup(self) -> None:
+        """Compile every (bucket, full-batch) program before serving."""
         h, w = self._hw
         for b in self.buckets:
             s = int(round(b * self.sample_rate))
@@ -113,16 +138,16 @@ class EncoderService:
             logging.info("serving warmup: bucket %.1fs (%d samples, %d frames)",
                          b, s, t)
             np.asarray(self._audio_fn(
-                self.variables, jnp.zeros((self.batch_size, s), jnp.float32)))
+                self.variables,
+                self._to_device(np.zeros((self.batch_size, s), np.float32))))
             np.asarray(self._video_fn(
                 self.variables,
-                jnp.zeros((self.batch_size, t, h, w, 3), jnp.uint8)))
+                self._to_device(
+                    np.zeros((self.batch_size, t, h, w, 3), np.uint8))))
 
     # -------------------------------------------------------------- embed
     def _run_bucketed(self, items: Sequence[np.ndarray], bucket_of, pad_shape,
                       fn) -> np.ndarray:
-        import jax.numpy as jnp
-
         out = np.zeros((len(items), 512), np.float32)
         by_bucket: Dict[int, List[int]] = {}
         for i, item in enumerate(items):
@@ -141,7 +166,7 @@ class EncoderService:
                     item = items[i]
                     n = min(item.shape[0], size)  # overlong: crop to bucket
                     batch[row, :n] = item[:n]
-                emb = np.asarray(fn(self.variables, jnp.asarray(batch)))
+                emb = np.asarray(fn(self.variables, self._to_device(batch)))
                 out[chunk] = emb[:len(chunk)]
         return out
 

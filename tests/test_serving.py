@@ -97,3 +97,24 @@ def test_serving_recycle_preserves_embeddings(service, rng):
         service._mem_watchdog.limit_bytes = None
     assert calls
     np.testing.assert_array_equal(before, after)
+
+
+def test_mesh_sharded_serving_matches_single_device(service, rng):
+    """EncoderService over a data-sharded mesh: requests shard over the
+    'data' axis, params replicate, embeddings match the 1-device service."""
+    from peppa_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((8, 1), ("data", "model"))
+    svc8 = EncoderService(service.model, service.variables, service.config,
+                          batch_size=8, mesh=mesh)
+    waves = [rng.normal(size=(s,)).astype(np.float32)
+             for s in (200, 380, 400, 750, 123)]
+    clips = [rng.uniform(size=(t, 32, 32, 3)).astype(np.float32)
+             for t in (3, 5, 9)]
+    np.testing.assert_allclose(
+        svc8.embed_audio(waves), service.embed_audio(waves), atol=1e-5)
+    np.testing.assert_allclose(
+        svc8.embed_video(clips), service.embed_video(clips), atol=1e-5)
+    with pytest.raises(ValueError, match="divide"):
+        EncoderService(service.model, service.variables, service.config,
+                       batch_size=3, mesh=mesh)
