@@ -225,6 +225,31 @@ class CheckpointManager:
                           if async_saves else None)
         self._pending: List[Future] = []
 
+    def restore_monitor_state(self, monitors_meta) -> None:
+        """Reference parity: Lightning's resume restores ModelCheckpoint
+        callback state, so a resumed run never demotes an earlier best
+        (reference run.py:32-55 + Trainer(resume_from_checkpoint=...)).
+        `monitors_meta` is the "monitors" list a last/preempted checkpoint
+        sidecar records.  Only best_model_score carries over — best_path may
+        live in the previous run's version dir and is never deleted across
+        dirs; the first improvement in THIS run writes a fresh best file.
+        """
+        by_name = {m.get("monitor"): m for m in monitors_meta or []}
+        for m in self.monitors:
+            meta = by_name.get(m.monitor)
+            if meta and meta.get("best_model_score") is not None:
+                m.best_score = float(meta["best_model_score"])
+                logging.info("Resume: restored monitor %s best=%.4f",
+                             m.monitor, m.best_score)
+
+    def monitor_state(self) -> List[Dict[str, Any]]:
+        """Current best-score bookkeeping, for resumable-checkpoint metas
+        (preempted/emergency saves) — the restore side is
+        restore_monitor_state."""
+        return [{"monitor": m.monitor, "mode": m.mode,
+                 "best_model_score": m.best_score,
+                 "best_model_path": m.best_path} for m in self.monitors]
+
     def on_validation_end(self, state, metrics: Dict[str, float], epoch: int) -> None:
         jobs: List[Tuple[str, Dict[str, Any]]] = []
         removals: List[str] = []

@@ -76,6 +76,12 @@ class _NullCheckpointManager:
     def on_validation_end(self, *a, **k):
         pass
 
+    def restore_monitor_state(self, *a, **k):
+        pass
+
+    def monitor_state(self):
+        return []
+
     def wait(self):
         pass
 
@@ -132,10 +138,12 @@ class Trainer:
                                 params=variables["params"])
             state = TrainState.create(variables, tx)
             start_epoch = 0
+            resume_meta = {}
             if resume_from is not None:
                 from peppa_tpu.training.checkpoint import load_checkpoint
 
                 state, meta = load_checkpoint(resume_from, state)
+                resume_meta = meta
                 # resume the EPOCH counter too: the train stream is a function of
                 # (seed, epoch), so an epoch-aligned restart replays exactly the
                 # batches a continuous run would have seen (bit-identical losses)
@@ -171,6 +179,9 @@ class Trainer:
                 val_shard_fn = shard_fn
             ckpt = CheckpointManager(self.version_dir) if self._main \
                 else _NullCheckpointManager()
+            if resume_meta.get("monitors"):
+                ckpt.restore_monitor_state(resume_meta["monitors"])
+            self._ckpt = ckpt  # for preempted/emergency save metas
 
             # ---- sanity validation (reference run.py:58)
             if tcfg.num_sanity_val_steps:
@@ -383,6 +394,8 @@ class Trainer:
 
             save_checkpoint(path, state, {
                 "monitor": None, "epoch": epoch - 1,
+                "monitors": getattr(self, "_ckpt", None).monitor_state()
+                if getattr(self, "_ckpt", None) else [],
                 "reason": f"preempted by {guard.signame} at step {micro_step}"})
         logging.info("preemption (%s): resumable state saved to %s, stopping",
                      guard.signame, path)
@@ -404,6 +417,8 @@ class Trainer:
 
             save_checkpoint(path, state, {
                 "monitor": None, "epoch": epoch,
+                "monitors": getattr(self, "_ckpt", None).monitor_state()
+                if getattr(self, "_ckpt", None) else [],
                 "reason": f"non-finite loss at step {micro_step}"})
         raise NonFiniteLossError(
             f"non-finite train loss at step {micro_step};"

@@ -29,6 +29,18 @@ from typing import Any, Optional
 _AXON_PLUGIN_PATHS = ("/opt/axon/libaxon_pjrt.so",)
 
 
+def host_mem_total_bytes() -> int:
+    """Physical RAM of this host (procfs MemTotal; 1 TiB if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return int(line.split()[1]) * 1024
+    except OSError:  # pragma: no cover - non-procfs platforms
+        pass
+    return 1 << 40
+
+
 def host_rss_bytes() -> int:
     """Resident set size of this process, in bytes (0 if unreadable)."""
     try:
@@ -111,6 +123,18 @@ class SessionRecycler:
         rc = int(self._lib.axon_reset())
         if rc != 0:  # pragma: no cover - plugin contract violation
             raise RuntimeError(f"axon_reset failed rc={rc}")
+        # the reset FREES the plugin's retained transfer copies, but after
+        # tens of GB glibc keeps the freed chunks on the heap instead of
+        # returning them (observed: 80 GB RSS barely moved post-reset at
+        # step 65k of the soak, while a fresh-heap probe dropped fully);
+        # malloc_trim madvises free pages back to the OS so RSS reflects
+        # reality and the watchdog's thresholds stay meaningful
+        try:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except OSError:  # pragma: no cover - non-glibc platforms
+            pass
         try:
             return jax.tree.map(
                 lambda h, s: jax.device_put(h, s) if s is not None
@@ -163,7 +187,11 @@ class HostMemoryWatchdog:
         """
         post = host_rss_bytes()
         if post >= 0.7 * self.limit_bytes:
-            new_limit = max(self.limit_bytes, int(post * 1.5))
+            # never ratchet past physical RAM: a limit the process cannot
+            # reach without being OOM-killed is no limit at all (the first
+            # soak died at ~93% of MemTotal)
+            ceiling = int(0.8 * host_mem_total_bytes())
+            new_limit = min(max(self.limit_bytes, int(post * 1.5)), ceiling)
             if new_limit > self.limit_bytes:
                 logging.warning(
                     "post-recycle host RSS %.1f GB is near the %.1f GB "
@@ -173,3 +201,10 @@ class HostMemoryWatchdog:
                     post / (1 << 30), self.limit_bytes / (1 << 30),
                     new_limit / (1 << 30))
                 self.limit_bytes = new_limit
+            elif post >= ceiling:  # pragma: no cover - log-only branch
+                logging.error(
+                    "post-recycle host RSS %.1f GB is at the physical-RAM "
+                    "ceiling (%.1f GB); recycles are not reclaiming — "
+                    "expect heavy recycle churn or an OOM kill (checkpoints "
+                    "+ --auto_resume will recover the run)",
+                    post / (1 << 30), ceiling / (1 << 30))

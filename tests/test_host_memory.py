@@ -194,3 +194,14 @@ def test_watchdog_hysteresis_raises_limit():
     w.note_recycled()  # post-recycle RSS >> limit: raise it off the floor
     assert w.limit_bytes >= host_rss_bytes()
     assert not w.check()
+
+
+def test_watchdog_ratchet_capped_below_physical_ram():
+    from peppa_tpu.utils.host_memory import host_mem_total_bytes
+
+    class Fake:
+        available = True
+
+    w = HostMemoryWatchdog(1e-6, recycler=Fake())
+    w.note_recycled()
+    assert w.limit_bytes <= int(0.8 * host_mem_total_bytes())

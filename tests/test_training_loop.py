@@ -229,3 +229,34 @@ def test_val_check_interval_steps(tmp_path):
     with open(os.path.join(trainer.version_dir, "checkpoints",
                            "last.ckpt.json")) as f:
         assert json.load(f)["epoch"] == 0
+
+
+def test_resume_restores_monitor_bests(tmp_path):
+    """Reference parity (Lightning resume restores ModelCheckpoint state):
+    a resumed run must not demote an earlier best — observed live when a
+    soak resume wrote a 'best' of 0.61 over a restored 0.94."""
+    from peppa_tpu.training.checkpoint import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path / "v0"), async_saves=False)
+    m.restore_monitor_state([
+        {"monitor": "valnarr_rec_fixed", "mode": "max",
+         "best_model_score": 0.76, "best_model_path": "old/epoch=14.ckpt"},
+        {"monitor": "valnarr_triplet", "mode": "max",
+         "best_model_score": 0.94, "best_model_path": "old/epoch=14t.ckpt"},
+    ])
+    rec, tri = m.monitors
+    assert rec.best_score == 0.76 and tri.best_score == 0.94
+    # a worse post-resume validation must NOT become a new best
+    assert rec.decide({"valnarr_rec_fixed": 0.61}, epoch=77) is None
+    assert tri.decide({"valnarr_triplet": 0.61}, epoch=77) is None
+    # a genuinely better one must (and must not delete the old run's file)
+    decision = rec.decide({"valnarr_rec_fixed": 0.80}, epoch=80)
+    assert decision is not None
+    path, removals = decision
+    assert "epoch=80" in path and removals == []
+
+    # monitor_state round-trips through a fresh manager (preempted.ckpt meta)
+    m2 = CheckpointManager(str(tmp_path / "v1"), async_saves=False)
+    m2.restore_monitor_state(m.monitor_state())
+    assert m2.monitors[0].best_score == 0.80
+    assert m2.monitors[1].best_score == 0.94
