@@ -277,16 +277,28 @@ def sentence_transformer_embedder() -> Optional[Callable]:
         logging.warning("SentenceTransformer unavailable: no local snapshot "
                         "of %s (offline image)", _ST_MODEL)
         return None
+    # never touch the network, even for revision checks on a cached model —
+    # but scope the offline switch to the construction: leaving
+    # HF_HUB_OFFLINE=1 in os.environ would break unrelated hub downloads
+    # later in the same process on machines that do have egress
+    had = os.environ.get("HF_HUB_OFFLINE")
+    os.environ["HF_HUB_OFFLINE"] = "1"
     try:
-        # never touch the network, even for revision checks on a cached model
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
         from sentence_transformers import SentenceTransformer
 
-        encoder = SentenceTransformer(_ST_MODEL, local_files_only=True)
+        try:
+            encoder = SentenceTransformer(_ST_MODEL, local_files_only=True)
+        except TypeError:  # sentence-transformers < 2.3 lacks the kwarg;
+            encoder = SentenceTransformer(_ST_MODEL)  # offline env suffices
         return lambda text: np.asarray(encoder.encode([text])[0])
     except Exception as e:  # corrupt/partial snapshot
         logging.warning("SentenceTransformer unavailable: %s", e)
         return None
+    finally:
+        if had is None:
+            os.environ.pop("HF_HUB_OFFLINE", None)
+        else:
+            os.environ["HF_HUB_OFFLINE"] = had
 
 
 def corpus_text_embedder(data_dir: str = "data") -> Optional[Callable]:

@@ -228,6 +228,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         "checkpoint as a reference-compatible Lightning "
                         ".ckpt (torch tensors, pig/models.py naming)")
     args = p.parse_args(argv)
+    if args.out_dir is None and not args.reference_ckpt:
+        # pure argument validation: fail BEFORE the multi-minute model load
+        p.error("out_dir is required unless --reference_ckpt is given")
 
     # a multi-minute export over a tunneled link must not sit silent
     logging.getLogger().setLevel(logging.INFO)
@@ -258,8 +261,6 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                           "from": ckpt_path, "monitor": monitor,
                           "score": score}))
         return
-    if args.out_dir is None:
-        p.error("out_dir is required unless --reference_ckpt is given")
     logging.info("exporting %s -> %s", ckpt_path, args.out_dir)
     manifest = export_encoders(model, variables, config, args.out_dir,
                                batch_size=args.batch_size,

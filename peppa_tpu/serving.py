@@ -46,12 +46,15 @@ class EncoderService:
         from peppa_tpu.utils.host_memory import HostMemoryWatchdog
 
         # long-running servers on the axon tunnel leak one batch of host RAM
-        # per request batch (PERF.md "Host-memory leak"); the watchdog
-        # recycles the device session between chunks.  None inherits the
-        # config's training-loop threshold.
-        self._mem_watchdog = HostMemoryWatchdog(
-            host_rss_recycle_gb if host_rss_recycle_gb is not None
-            else config.tpu.host_rss_recycle_gb)
+        # per request batch (PERF.md "Host-memory leak"); pass
+        # host_rss_recycle_gb to arm a watchdog that recycles the device
+        # session between chunks.  OPT-IN here (unlike the training loop,
+        # which owns its process): the recycle resets the whole device
+        # session, which would invalidate any OTHER live device buffers in
+        # an embedding process (a second service, cached arrays) — only the
+        # variables this service re-transfers survive.  Arm it only when
+        # the service is the process's sole device user.
+        self._mem_watchdog = HostMemoryWatchdog(host_rss_recycle_gb)
 
         self.model = model
         self.variables = variables

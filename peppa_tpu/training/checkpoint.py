@@ -242,6 +242,35 @@ class CheckpointManager:
                 logging.info("Resume: restored monitor %s best=%.4f",
                              m.monitor, m.best_score)
 
+    @staticmethod
+    def resume_monitors_meta(resume_from: str,
+                             resume_meta: Dict[str, Any]) -> List[Dict[str, Any]]:
+        """The monitors list to restore when resuming from `resume_from`.
+
+        last/preempted/emergency sidecars carry an explicit "monitors" list;
+        a best-monitor checkpoint's sidecar is a single
+        CheckpointMonitor.meta_dict (monitor/mode/best_model_score) — for
+        those, merge in the sibling monitors' sidecars from the same
+        checkpoints dir so a resume from EITHER best file restores BOTH
+        monitors' bests and the first post-resume validation can't demote
+        the real best.
+        """
+        if resume_meta.get("monitors"):
+            return resume_meta["monitors"]
+        if not resume_meta.get("monitor"):
+            return []
+        metas = {resume_meta["monitor"]: resume_meta}
+        for p in sorted(glob.glob(os.path.join(
+                os.path.dirname(resume_from), "*.ckpt.json"))):
+            try:
+                with open(p) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if m.get("monitor") and m["monitor"] not in metas:
+                metas[m["monitor"]] = m
+        return list(metas.values())
+
     def monitor_state(self) -> List[Dict[str, Any]]:
         """Current best-score bookkeeping, for resumable-checkpoint metas
         (preempted/emergency saves) — the restore side is

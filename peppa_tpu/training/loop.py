@@ -179,8 +179,10 @@ class Trainer:
                 val_shard_fn = shard_fn
             ckpt = CheckpointManager(self.version_dir) if self._main \
                 else _NullCheckpointManager()
-            if resume_meta.get("monitors"):
-                ckpt.restore_monitor_state(resume_meta["monitors"])
+            if resume_from is not None:
+                ckpt.restore_monitor_state(
+                    CheckpointManager.resume_monitors_meta(resume_from,
+                                                           resume_meta))
             self._ckpt = ckpt  # for preempted/emergency save metas
 
             # ---- sanity validation (reference run.py:58)

@@ -118,8 +118,13 @@ class SessionRecycler:
         `tree` has finished (device_get is the barrier)."""
         import jax
 
-        shardings = jax.tree.map(lambda a: getattr(a, "sharding", None), tree)
-        host = jax.device_get(tree)
+        # flatten rather than tree.map a parallel "shardings tree": a None
+        # sharding leaf (numpy/python leaves have no .sharding) would be
+        # treated as an empty SUBTREE by a paired tree.map and raise a
+        # structure mismatch
+        leaves, treedef = jax.tree.flatten(tree)
+        shardings = [getattr(a, "sharding", None) for a in leaves]
+        host = jax.device_get(leaves)
         rc = int(self._lib.axon_reset())
         if rc != 0:  # pragma: no cover - plugin contract violation
             raise RuntimeError(f"axon_reset failed rc={rc}")
@@ -135,12 +140,22 @@ class SessionRecycler:
             ctypes.CDLL("libc.so.6").malloc_trim(0)
         except OSError:  # pragma: no cover - non-glibc platforms
             pass
-        try:
-            return jax.tree.map(
-                lambda h, s: jax.device_put(h, s) if s is not None
-                else jax.device_put(h), host, shardings)
-        except Exception:  # pragma: no cover - sharding died with session
-            return jax.device_put(host)
+        def put(h, s):
+            if s is None:
+                return jax.device_put(h)
+            try:
+                return jax.device_put(h, s)
+            except Exception:  # pragma: no cover - sharding died with reset
+                # per-leaf, logged fallback: never silently drop EVERY
+                # sharding (and never mask a genuine post-reset device_put
+                # failure for the unsharded leaves)
+                logging.warning(
+                    "recycle: sharding %s no longer valid after session "
+                    "reset; leaf re-uploaded to the default device", s)
+                return jax.device_put(h)
+
+        return jax.tree.unflatten(treedef,
+                                  [put(h, s) for h, s in zip(host, shardings)])
 
 
 class HostMemoryWatchdog:

@@ -39,20 +39,8 @@ def check(ok: bool, msg: str) -> None:
         FAILURES.append(msg)
 
 
-def schedule(name: str, lr: float, warmup: float, t_total: int, step: int) -> float:
-    x = step / t_total
-    if name == "warmup_linear":
-        f = x / warmup if x < warmup else max((x - 1.0) / (warmup - 1.0), 0.0)
-    elif name == "warmup_cosine":
-        f = x / warmup if x < warmup else 0.5 * (1.0 + math.cos(math.pi * x))
-    elif name == "warmup_constant":
-        f = x / warmup if x < warmup else 1.0
-    else:  # constant lr
-        f = 1.0
-    return lr * f
-
-
-def main() -> int:
+def main(argv=None) -> int:
+    del FAILURES[:]
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dirs", nargs="*",
                     default=["lightning_logs/version_0"],
@@ -61,7 +49,7 @@ def main() -> int:
                          "into a fresh version dir; rows an earlier run "
                          "logged past the checkpoint its successor resumed "
                          "from are superseded and dropped)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     rds = args.run_dirs
     rd = rds[-1]  # hparams + display name come from the live end of the chain
 
@@ -104,6 +92,12 @@ def main() -> int:
 
     last_step = int(rows[-1]["step"])
     print(f"# Soak report: {' -> '.join(rds)}\n")
+    if not train:
+        # e.g. killed during sanity validation: rows exist but none carry
+        # train_loss — report cleanly instead of crashing on train[0]
+        check(False, "metrics.csv has rows but no train_loss values")
+        print(f"\nFAILED: {len(FAILURES)} failed check(s)")
+        return 1
     print(f"- micro-steps logged: {train[0][0]}..{last_step} "
           f"(optimizer steps ≈ {last_step // accum}, accum={accum})")
     print(f"- wall: {wall / 3600:.2f} h over {len(rows)} logged rows"
@@ -122,12 +116,17 @@ def main() -> int:
     check(all(math.isfinite(t[1]) for t in train),
           f"all {len(train)} logged train losses finite")
 
+    import numpy as np
+
+    from peppa_tpu.training.optimization import schedule_fn
+
+    lr_at = schedule_fn(opt["schedule"], opt["lr"], opt["warmup"],
+                        opt["t_total"])
     lr_err = 0.0
     for step, _, lr, _ in train:
         if lr is None:
             continue
-        want = schedule(opt["schedule"], opt["lr"], opt["warmup"],
-                        opt["t_total"], step // accum)
+        want = float(lr_at(np.int32(step // accum)))
         lr_err = max(lr_err, abs(lr - want))
     # the logged lr is computed in f32 on device — allow f32 rounding
     check(lr_err < 1e-5 * max(opt["lr"], 1e-12) + 1e-12,
@@ -166,7 +165,10 @@ def main() -> int:
         name, m = monitored[mon]
         best = m.get("best_model_score")
         col = [fval(r, mon) for r in vals if fval(r, mon) is not None]
-        if col:
+        if best is None:
+            check(False, f"monitor {mon}: sidecar {name}.json has "
+                         f"best_model_score null")
+        elif col:
             check(abs(best - max(col)) < 1e-6,
                   f"monitor {mon}: best_model_score {best:.4f} == "
                   f"max(metrics.csv)={max(col):.4f}  [{name}]")

@@ -22,11 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def rss_mb() -> float:
-    with open(f"/proc/{os.getpid()}/status") as f:
-        for line in f:
-            if line.startswith("VmRSS"):
-                return int(line.split()[1]) / 1024
-    return 0.0
+    # same probe the watchdog uses, so the diagnostic and the mitigation
+    # can never measure differently
+    from peppa_tpu.utils.host_memory import host_rss_bytes
+
+    return host_rss_bytes() / (1 << 20)
 
 
 def main() -> int:

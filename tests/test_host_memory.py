@@ -51,6 +51,40 @@ def test_watchdog_triggers_with_fake_recycler():
     assert not w2.check()
 
 
+def test_recycle_preserves_shardings_and_non_jax_leaves():
+    """recycle() must round-trip a MIXED tree — sharded jax arrays, numpy
+    leaves (no .sharding), python scalars — preserving each jax leaf's
+    sharding.  Regression: a paired tree.map over a shardings tree with
+    None leaves raised a structure mismatch, and the broad fallback
+    silently dropped every sharding."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    class FakeLib:
+        def axon_reset(self):
+            return 0
+
+    r = SessionRecycler()
+    r._lib = FakeLib()
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    tree = {
+        "sharded": jax.device_put(jnp.arange(8.0).reshape(4, 2), sharding),
+        "plain": jnp.ones((3,)),
+        "numpy": np.arange(5),
+        "scalar": 7,
+    }
+    out = r.recycle(tree)
+    assert out["sharded"].sharding == sharding
+    np.testing.assert_array_equal(np.asarray(out["sharded"]),
+                                  np.arange(8.0).reshape(4, 2))
+    np.testing.assert_array_equal(np.asarray(out["numpy"]), np.arange(5))
+    np.testing.assert_array_equal(np.asarray(out["plain"]), np.ones((3,)))
+    assert int(np.asarray(out["scalar"])) == 7
+
+
 # ---------------------------------------------------------------- prefetcher
 
 class CountingShard:

@@ -260,3 +260,46 @@ def test_resume_restores_monitor_bests(tmp_path):
     m2.restore_monitor_state(m.monitor_state())
     assert m2.monitors[0].best_score == 0.80
     assert m2.monitors[1].best_score == 0.94
+
+
+def test_resume_from_best_monitor_ckpt_restores_all_bests(tmp_path):
+    """Resuming from a BEST-monitor .ckpt (whose sidecar is a single
+    monitor meta, not a last.ckpt-style "monitors" list) must restore that
+    monitor's best AND the sibling monitor's best from its sidecar in the
+    same checkpoints dir — otherwise the first post-resume validation
+    demotes the real best (the exact bug test_resume_restores_monitor_bests
+    covers for last.ckpt resumes)."""
+    import json
+
+    from peppa_tpu.training.checkpoint import CheckpointManager
+
+    ckdir = tmp_path / "v0" / "checkpoints"
+    ckdir.mkdir(parents=True)
+    rec_meta = {"monitor": "valnarr_rec_fixed", "mode": "max",
+                "best_model_score": 0.76, "epoch": 14}
+    tri_meta = {"monitor": "valnarr_triplet", "mode": "max",
+                "best_model_score": 0.94, "epoch": 12}
+    last_meta = {"monitor": None, "best_model_score": None, "epoch": 14,
+                 "monitors": [rec_meta, tri_meta]}
+    for name, meta in [("epoch=14-valnarr_rec_fixed=0.76.ckpt", rec_meta),
+                       ("epoch=12-valnarr_triplet=0.94.ckpt", tri_meta),
+                       ("last.ckpt", last_meta)]:
+        (ckdir / name).write_bytes(b"")
+        (ckdir / (name + ".json")).write_text(json.dumps(meta))
+
+    # resume_from the rec-monitor best: both monitors restored
+    resume_from = str(ckdir / "epoch=14-valnarr_rec_fixed=0.76.ckpt")
+    metas = CheckpointManager.resume_monitors_meta(resume_from, rec_meta)
+    m = CheckpointManager(str(tmp_path / "v1"), async_saves=False)
+    m.restore_monitor_state(metas)
+    assert m.monitors[0].best_score == 0.76
+    assert m.monitors[1].best_score == 0.94
+    assert m.monitors[0].decide({"valnarr_rec_fixed": 0.61}, epoch=15) is None
+    assert m.monitors[1].decide({"valnarr_triplet": 0.61}, epoch=15) is None
+
+    # last.ckpt resumes keep using the explicit monitors list verbatim
+    assert CheckpointManager.resume_monitors_meta(
+        str(ckdir / "last.ckpt"), last_meta) == [rec_meta, tri_meta]
+    # non-monitor resumes (emergency blobs without metas) restore nothing
+    assert CheckpointManager.resume_monitors_meta(
+        str(ckdir / "x.ckpt"), {}) == []
