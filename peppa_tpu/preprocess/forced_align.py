@@ -19,6 +19,7 @@ used as a drop-in backend instead.
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -56,6 +57,51 @@ def text_to_tokens(text: str) -> Tuple[List[int], List[Tuple[int, int]]]:
     return tokens, word_spans
 
 
+@functools.lru_cache(maxsize=1)
+def _native_align_lib():
+    """The C++ Viterbi DP (native/src/ctc_align.cpp), or None.
+
+    Same role as Kaldi's C++ decoder in the reference's gentle backend: the
+    per-utterance O(T*S) DP is the aligner's host hot loop (~40 ms/utterance
+    in Python, ~0.1 ms native).  ctypes releases the GIL during the call, so
+    utterance-level thread pools parallelize across cores.
+    """
+    import ctypes
+
+    from peppa_tpu.native.build import build
+
+    path = build(target="ctc_align")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ppk_ctc_align.restype = ctypes.c_int
+    lib.ppk_ctc_align.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
+    return lib
+
+
+def _ctc_align_native(lib, log_probs: np.ndarray, tokens: Sequence[int],
+                      blank: int) -> Tuple[np.ndarray, float]:
+    import ctypes
+
+    lp = np.ascontiguousarray(log_probs, np.float64)
+    tok = np.ascontiguousarray(tokens, np.int32)
+    T, V = lp.shape
+    labels = np.empty((T,), np.int32)
+    score = ctypes.c_double()
+    rc = lib.ppk_ctc_align(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), T, V,
+        tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(tok),
+        blank, labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(score))
+    if rc == 2:
+        raise ValueError(f"token id out of range for vocab {V}")
+    assert rc == 0, rc  # rc==1 (unalignable) is pre-checked by the caller
+    return labels, float(score.value)
+
+
 def ctc_forced_align(log_probs: np.ndarray, tokens: Sequence[int],
                      blank: int = BLANK) -> Tuple[np.ndarray, float]:
     """Viterbi forced alignment through the standard CTC graph.
@@ -66,11 +112,26 @@ def ctc_forced_align(log_probs: np.ndarray, tokens: Sequence[int],
     log-likelihood.  The CTC graph interleaves blanks:
     states s = 0..2N, even = blank, odd = token (s-1)//2; skip transitions
     allowed between different consecutive tokens.
+
+    Dispatches to the C++ DP (native/src/ctc_align.cpp) when the toolchain
+    allows — bit-identical to this Python fallback (both run the same IEEE
+    f64 compare/add sequence; tests/test_forced_align.py asserts it).
     """
     T, V = log_probs.shape
     N = len(tokens)
     if N == 0 or T < N:
         raise ValueError(f"cannot align {N} tokens into {T} frames")
+    lib = _native_align_lib()
+    if lib is not None:
+        return _ctc_align_native(lib, log_probs, tokens, blank)
+    return _ctc_align_python(log_probs, tokens, blank)
+
+
+def _ctc_align_python(log_probs: np.ndarray, tokens: Sequence[int],
+                      blank: int = BLANK) -> Tuple[np.ndarray, float]:
+    """Portable fallback DP (also the native kernel's parity reference)."""
+    T, V = log_probs.shape
+    N = len(tokens)
     S = 2 * N + 1
     NEG = -1e30
 

@@ -71,6 +71,43 @@ def test_align_too_short_fails_gracefully():
     assert all(w["case"] == "not-found-in-audio" for w in result["words"])
 
 
+def test_native_dp_bit_identical_to_python():
+    """The C++ Viterbi DP (native/src/ctc_align.cpp) must be BIT-identical
+    to the Python fallback: same IEEE f64 compare/add sequence, same strict
+    '>' tie-breaks, same skip-transition gating on repeated tokens."""
+    from peppa_tpu.preprocess.forced_align import (_ctc_align_python,
+                                                   _native_align_lib,
+                                                   _ctc_align_native)
+
+    lib = _native_align_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(7)
+    cases = [
+        text_to_tokens("hi mum")[0],          # with word separator
+        text_to_tokens("mummmy emme")[0],     # repeated tokens: no-skip arcs
+        [5] * 6,                              # all-identical tokens
+        [6, 6, 7, 7, 6],                      # alternating repeats
+        list(rng.integers(5, 27, size=40)),   # long random target
+    ]
+    for tokens in cases:
+        for T in (len(tokens) + 1, 4 * len(tokens) + 3):
+            lp = rng.normal(scale=2.0, size=(T, len(CTC_CHARS)))
+            lp = lp - np.log(np.exp(lp).sum(axis=1, keepdims=True))
+            # exercise both f32 inputs (the model's dtype) and f64
+            for dtype in (np.float32, np.float64):
+                arr = lp.astype(dtype)
+                la_py, sc_py = _ctc_align_python(arr, tokens)
+                la_c, sc_c = _ctc_align_native(lib, arr, tokens, BLANK)
+                np.testing.assert_array_equal(la_c, la_py)
+                assert sc_c == sc_py  # bit-identical, not approx
+
+    # out-of-range token ids are rejected, not read out of bounds
+    with pytest.raises(ValueError):
+        _ctc_align_native(lib, np.zeros((5, 4)), [1, 99], BLANK)
+
+
 def test_arpa2ipa():
     assert arpa2ipa("AH0") == "ʌ"
     assert arpa2ipa("ah_I") == "ʌ"  # gentle position-tagged form
