@@ -214,6 +214,87 @@ def align_ctc(log_probs: np.ndarray, transcript: str,
             "log_likelihood": score}
 
 
+def make_ctc_logits_fn(checkpoint_path: Optional[str] = None,
+                       variables: Optional[Dict] = None,
+                       bucket_seconds: Sequence[float] = (2.0, 4.0, 8.0, 16.0),
+                       sample_rate: int = 16000,
+                       cfg=None) -> Callable:
+    """Build a real `ctc_logits_fn` from a wav2vec2 CTC checkpoint.
+
+    The aligner's acoustic model is wav2vec2-base with the 28-token char aux
+    head — CTC_CHARS is exactly the fairseq/torchaudio char vocabulary — so
+    any fine-tuned wav2vec2 ASR checkpoint works: fairseq naming
+    (convert.py::convert_wav2vec2_fairseq) and torchaudio naming
+    (convert_wav2vec2_torchaudio) are both dispatched by key probe.
+    `variables` short-circuits loading (e.g. a tree already imported through
+    models/convert.py).
+
+    Wav lengths are padded to `bucket_seconds` buckets so XLA compiles one
+    program per bucket, with attention masked past the true length; the
+    returned (T, 28) log-probs are sliced to the true frame count
+    (frame_seconds = 320 / sample_rate, wav2vec2's conv downsampling).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from peppa_tpu.data import decode as D
+    from peppa_tpu.models.wav2vec2 import Wav2Vec2, Wav2Vec2Config
+
+    model = Wav2Vec2(cfg if cfg is not None else Wav2Vec2Config())
+    if variables is None:
+        if checkpoint_path is None:
+            raise ValueError("pass checkpoint_path or variables")
+        from peppa_tpu.models import convert as C
+
+        state = C.load_torch_checkpoint(checkpoint_path)
+        for wrapper in ("model", "state_dict"):  # fairseq / Lightning blobs
+            if isinstance(state, dict) and wrapper in state:
+                state = state[wrapper]
+                break
+        if any(k.startswith("encoder.transformer.") for k in state):
+            trunk = C.convert_wav2vec2_torchaudio(state)
+        else:
+            trunk = C.convert_wav2vec2_fairseq(state)
+        if "aux" not in trunk:
+            logging.warning(
+                "%s has no 28-d aux head (a pretraining-only checkpoint?) — "
+                "the char head stays randomly initialized and alignments "
+                "will be poor; use a CTC fine-tuned ASR checkpoint",
+                checkpoint_path)
+        dummy = jnp.zeros((1, int(bucket_seconds[0] * sample_rate)),
+                          jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), dummy)
+        params = dict(variables["params"])
+        unknown = set(trunk) - set(params)
+        if unknown:
+            raise ValueError(f"converted tree has unknown modules {unknown}")
+        params.update(trunk)
+        variables = {"params": params}
+
+    @jax.jit
+    def fwd(wave, n):
+        logits, frames = model.apply(
+            variables, wave[None], sample_lengths=jnp.asarray([n]),
+            deterministic=True, tap="logits", mask_padding=True)
+        return (jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1),
+                frames[0])
+
+    def fn(path: str) -> np.ndarray:
+        samples = D.decode_audio(path, 0.0, bucket_seconds[-1], sample_rate)
+        n = len(samples)
+        size = int(round(bucket_seconds[-1] * sample_rate))
+        for b in bucket_seconds:
+            if n <= int(round(b * sample_rate)):
+                size = int(round(b * sample_rate))
+                break
+        wave = np.zeros((size,), np.float32)
+        wave[:min(n, size)] = samples[:size]
+        log_probs, frames = fwd(jnp.asarray(wave), min(n, size))
+        return np.asarray(log_probs)[:int(frames)]
+
+    return fn
+
+
 def have_gentle() -> bool:
     try:
         import gentle  # noqa: F401
@@ -249,13 +330,21 @@ def align(audiopath: str, transcript: str,
 
 def realign(fragment_type: str = "dialog", data_dir: str = "data",
             ctc_logits_fn: Optional[Callable] = None,
-            splits: Sequence[str] = ("val",)) -> None:
+            splits: Sequence[str] = ("val",),
+            nthreads: Optional[int] = None) -> None:
     """Re-align every subtitle line of the split's episodes.
 
     Parity: reference pig/forced_align.py:30-67 — reads the episode
     annotations, cuts each subtitle's audio (with 0.5 s margins), aligns, and
     writes data/out/realign/{fragment}/ep_{N}/{part}/{sub}.json with speaker
     and clip metadata.
+
+    `nthreads` (default: cpu count, reference forced_align.py:8) runs the
+    per-utterance pipeline — audio cut (ffmpeg subprocess), CTC forward,
+    native Viterbi DP — in a thread pool; the subprocess and the C++ DP both
+    release the GIL, and jitted JAX forwards are thread-safe, so utterances
+    overlap across cores.  Each utterance writes its own wav/json, so order
+    is irrelevant.
     """
     import pandas as pd
 
@@ -301,35 +390,50 @@ def realign(fragment_type: str = "dialog", data_dir: str = "data",
                 logging.warning("missing episode media for %s",
                                 annotation["title"])
                 continue
-            for i, part in enumerate(annotation["narrator_splits"]):
-                subs = part[names[fragment_type]].get("subtitles", [])
-                for j, sub in enumerate(subs):
-                    transcript = clean(sub["text"])
-                    if not transcript:
-                        continue
-                    start = max(pd.Timedelta(sub["begin"]).total_seconds()
-                                - 0.5, 0.0)
-                    end = pd.Timedelta(sub["end"]).total_seconds() + 0.5
-                    outdir = os.path.join(data_dir, "out", "realign",
-                                          fragment_type, f"ep_{epid}", str(i))
-                    os.makedirs(outdir, exist_ok=True)
-                    wav = os.path.join(outdir, f"{j}.wav")
-                    _write_wav(wav, D.decode_audio(episode_file, start, end,
-                                                   16000), 16000)
-                    result = align(wav, transcript,
-                                   ctc_logits_fn=ctc_logits_fn)
-                    result["speaker"] = (sub.get("speaker")
-                                         if fragment_type == "dialog"
-                                         else "Narrator")
-                    result["episode_filepath"] = episode_file
-                    result["episode_metadata_path"] = ann_path
-                    result["episode_title"] = annotation["title"]
-                    result["clipStart"] = start
-                    result["clipEnd"] = end
-                    result["partIndex"] = i
-                    result["clipIndex"] = j
-                    with open(os.path.join(outdir, f"{j}.json"), "w") as f:
-                        json.dump(result, f, indent=2)
+            def one_utterance(i: int, j: int, sub: Dict, episode_file: str,
+                              ann_path: str, title: str, epid: int) -> None:
+                transcript = clean(sub["text"])
+                if not transcript:
+                    return
+                start = max(pd.Timedelta(sub["begin"]).total_seconds()
+                            - 0.5, 0.0)
+                end = pd.Timedelta(sub["end"]).total_seconds() + 0.5
+                outdir = os.path.join(data_dir, "out", "realign",
+                                      fragment_type, f"ep_{epid}", str(i))
+                os.makedirs(outdir, exist_ok=True)
+                wav = os.path.join(outdir, f"{j}.wav")
+                _write_wav(wav, D.decode_audio(episode_file, start, end,
+                                               16000), 16000)
+                result = align(wav, transcript, ctc_logits_fn=ctc_logits_fn)
+                result["speaker"] = (sub.get("speaker")
+                                     if fragment_type == "dialog"
+                                     else "Narrator")
+                result["episode_filepath"] = episode_file
+                result["episode_metadata_path"] = ann_path
+                result["episode_title"] = title
+                result["clipStart"] = start
+                result["clipEnd"] = end
+                result["partIndex"] = i
+                result["clipIndex"] = j
+                with open(os.path.join(outdir, f"{j}.json"), "w") as f:
+                    json.dump(result, f, indent=2)
+
+            jobs = [(i, j, sub, episode_file, ann_path, annotation["title"],
+                     epid)
+                    for i, part in enumerate(annotation["narrator_splits"])
+                    for j, sub in enumerate(
+                        part[names[fragment_type]].get("subtitles", []))]
+            n = nthreads if nthreads is not None else (os.cpu_count() or 1)
+            if n <= 1 or len(jobs) <= 1:
+                for job in jobs:
+                    one_utterance(*job)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=n) as pool:
+                    # list() re-raises the first worker exception, matching
+                    # the serial path's fail-fast behavior
+                    list(pool.map(lambda job: one_utterance(*job), jobs))
 
 
 def _write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
