@@ -19,6 +19,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import glob
 import itertools
 import json
 import logging
@@ -298,10 +299,46 @@ def make_tagger(annotations_dir: Optional[str] = None) -> Callable:
 # ------------------------------------------------------------ data loading
 
 def default_annotations_dir(realign_dir: str) -> str:
-    """data/out/realign -> data/eval (where the reference ships its CSVs)."""
-    return os.path.join(
+    """data/out/realign -> data/eval (where the reference ships its CSVs).
+
+    Prefers the `reference_originals/` snapshot when one exists (see
+    preserve_reference_annotations): after a generate() run has overwritten
+    data/eval's CSVs with our output, the preserved originals remain the
+    authoritative tag/order source."""
+    d = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(realign_dir))),
         "eval")
+    preserved = os.path.join(d, "reference_originals")
+    if glob.glob(os.path.join(preserved, "eval_set_*.csv")):
+        return preserved
+    return d
+
+
+def preserve_reference_annotations(annotations_dir: str) -> str:
+    """Snapshot the shipped eval_set_*.csv files before generate() overwrites
+    them.
+
+    generate()'s default output dir is the reference's own (data/eval — path
+    parity with generate_targeted_triplets_eval_sets.py:405-441), which is
+    ALSO where the shipped spaCy-annotated CSVs live that our tagger and
+    apply_reference_order consume.  Writing there would destroy the
+    authoritative artifacts and make every regeneration distill our own
+    previous output.  This copies each CSV once into
+    `{annotations_dir}/reference_originals/` (never overwritten afterwards)
+    and returns that directory as the annotation source.
+    """
+    preserved = os.path.join(annotations_dir, "reference_originals")
+    csvs = glob.glob(os.path.join(annotations_dir, "eval_set_*.csv"))
+    if not csvs and not os.path.isdir(preserved):
+        return annotations_dir  # nothing shipped, nothing to preserve
+    os.makedirs(preserved, exist_ok=True)
+    import shutil
+
+    for p in csvs:
+        dst = os.path.join(preserved, os.path.basename(p))
+        if not os.path.exists(dst):
+            shutil.copy2(p, dst)
+    return preserved
 
 
 def load_realigned_data(realign_dir: str = "data/out/realign",
@@ -704,6 +741,12 @@ def generate(realign_dir: str = "data/out/realign",
     """
     os.makedirs(eval_dir, exist_ok=True)
     annotations_dir = annotations_dir or default_annotations_dir(realign_dir)
+    if os.path.abspath(eval_dir) == os.path.abspath(annotations_dir):
+        # the output dir IS the annotation source (the reference writes its
+        # CSVs where it ships them): snapshot the originals first so this
+        # run — and every regeneration after it — reads the authoritative
+        # artifacts, not our own previous output
+        annotations_dir = preserve_reference_annotations(annotations_dir)
     data_sentences, data_tokens = load_realigned_data(
         realign_dir, tagger, annotations_dir=annotations_dir)
     from peppa_tpu.data.dataset import SPLIT_SPEC

@@ -160,19 +160,18 @@ class ExportedEncoders:
 
     def _run(self, kind: str, items: Sequence[np.ndarray],
              dtype) -> np.ndarray:
+        from peppa_tpu.utils.request_batching import (group_by_bucket,
+                                                      padded_chunk)
+
         out = np.zeros((len(items), self.embed_dim), np.float32)
-        by_bucket: Dict[int, List[int]] = {}
-        for i, item in enumerate(items):
-            by_bucket.setdefault(self._bucket(kind, item.shape[0]), []).append(i)
-        for size, idxs in by_bucket.items():
+        groups = group_by_bucket(items,
+                                 lambda x: self._bucket(kind, x.shape[0]))
+        for size, idxs in groups.items():
             exp = self._programs[kind][size]
             for lo in range(0, len(idxs), self.batch_size):
                 chunk = idxs[lo:lo + self.batch_size]
-                batch = np.zeros(
-                    (self.batch_size, size) + items[chunk[0]].shape[1:], dtype)
-                for row, i in enumerate(chunk):
-                    n = min(items[i].shape[0], size)  # overlong: crop
-                    batch[row, :n] = items[i][:n]
+                batch = padded_chunk(items, chunk, size, self.batch_size,
+                                     items[chunk[0]].shape[1:], dtype)
                 emb = np.asarray(exp.call(self.variables, batch))
                 out[chunk] = emb[:len(chunk)]
         return out
@@ -184,14 +183,14 @@ class ExportedEncoders:
         return self._run("audio", waveforms, np.float32)
 
     def embed_video(self, clips: Sequence[np.ndarray]) -> np.ndarray:
-        """(T_i, H, W, 3) float [0,1] or uint8 clips -> (N, 512) embeddings."""
-        def canon(x):
-            x = np.asarray(x)
-            if x.dtype == np.uint8:
-                return x
-            return np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
+        """(T_i, H, W, 3) float [0,1] or uint8 clips -> (N, 512) embeddings.
 
-        return self._run("video", [canon(x) for x in clips], np.uint8)
+        Canonicalization is shared with the live EncoderService
+        (utils/request_batching.py) so the exported path can't drift."""
+        from peppa_tpu.utils.request_batching import canonicalize_video
+
+        return self._run("video", [canonicalize_video(x) for x in clips],
+                         np.uint8)
 
     @staticmethod
     def similarity(video_emb: np.ndarray, audio_emb: np.ndarray) -> np.ndarray:

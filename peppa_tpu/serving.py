@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -149,26 +149,22 @@ class EncoderService:
                     np.zeros((self.batch_size, t, h, w, 3), np.uint8))))
 
     # -------------------------------------------------------------- embed
-    def _run_bucketed(self, items: Sequence[np.ndarray], bucket_of, pad_shape,
+    def _run_bucketed(self, items: Sequence[np.ndarray], bucket_of,
                       fn) -> np.ndarray:
+        from peppa_tpu.utils.request_batching import (group_by_bucket,
+                                                      padded_chunk)
+
         out = np.zeros((len(items), 512), np.float32)
-        by_bucket: Dict[int, List[int]] = {}
-        for i, item in enumerate(items):
-            by_bucket.setdefault(bucket_of(item), []).append(i)
-        for size, idxs in by_bucket.items():
+        for size, idxs in group_by_bucket(items, bucket_of).items():
             for lo in range(0, len(idxs), self.batch_size):
                 if self._mem_watchdog.check():
                     self.variables = self._mem_watchdog.recycler.recycle(
                         self.variables)
                     self._mem_watchdog.note_recycled()
                 chunk = idxs[lo:lo + self.batch_size]
-                batch = np.zeros(
-                    (self.batch_size,) + pad_shape(size, items[chunk[0]]),
-                    items[chunk[0]].dtype)
-                for row, i in enumerate(chunk):
-                    item = items[i]
-                    n = min(item.shape[0], size)  # overlong: crop to bucket
-                    batch[row, :n] = item[:n]
+                batch = padded_chunk(items, chunk, size, self.batch_size,
+                                     items[chunk[0]].shape[1:],
+                                     items[chunk[0]].dtype)
                 emb = np.asarray(fn(self.variables, self._to_device(batch)))
                 out[chunk] = emb[:len(chunk)]
         return out
@@ -178,26 +174,20 @@ class EncoderService:
         waveforms = [np.asarray(x, np.float32).reshape(-1) for x in waveforms]
         return self._run_bucketed(
             waveforms, lambda x: self._audio_bucket(x.shape[0]),
-            lambda size, item: (size,), self._audio_fn)
+            self._audio_fn)
 
     def embed_video(self, clips: Sequence[np.ndarray]) -> np.ndarray:
         """(T_i, H, W, 3) float [0,1] or uint8 clips -> (N, 512) embeddings.
 
-        Clips are canonicalized to uint8 before bucketing: warmup() compiles
-        the uint8 program only, so a float request would otherwise pay an XLA
-        compile at serving time, and a bucket mixing dtypes would truncate
-        float values via astype-on-assignment into the uint8 batch slab.
+        Clips canonicalize to uint8 before bucketing (see
+        utils/request_batching.py::canonicalize_video — shared with the
+        exported-artifact path so the two can't drift).
         """
-        def canon(x):
-            x = np.asarray(x)
-            if x.dtype == np.uint8:
-                return x
-            return np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
+        from peppa_tpu.utils.request_batching import canonicalize_video
 
-        clips = [canon(x) for x in clips]
+        clips = [canonicalize_video(x) for x in clips]
         return self._run_bucketed(
-            clips, lambda x: self._video_bucket(x.shape[0]),
-            lambda size, item: (size,) + item.shape[1:], self._video_fn)
+            clips, lambda x: self._video_bucket(x.shape[0]), self._video_fn)
 
     @staticmethod
     def similarity(video_emb: np.ndarray, audio_emb: np.ndarray) -> np.ndarray:

@@ -61,16 +61,49 @@ def _start_fetch(state):
         "batch_stats": state.batch_stats,
         "opt_state": serialization.to_state_dict(state.opt_state),
     }
-    if _SNAPSHOT_COPY is None:
-        _SNAPSHOT_COPY = jax.jit(
-            lambda tree: jax.tree.map(jnp.copy, tree))
-    payload = _SNAPSHOT_COPY(payload)
+    if jax.process_count() > 1:
+        # multi-host: the copy must run on EVERY process (SPMD), and leaves
+        # sharded across hosts (tensor parallelism) are not addressable from
+        # any single process — so the snapshot all-gathers to fully
+        # replicated outputs over ICI, after which each process (and in
+        # particular the one that writes) can materialize locally.
+        payload = _replicating_snapshot(payload)
+    else:
+        if _SNAPSHOT_COPY is None:
+            _SNAPSHOT_COPY = jax.jit(
+                lambda tree: jax.tree.map(jnp.copy, tree))
+        payload = _SNAPSHOT_COPY(payload)
     for leaf in jax.tree.leaves(payload):
         try:
             leaf.copy_to_host_async()
         except AttributeError:
             pass
     return payload
+
+
+_SNAPSHOT_REPL: Dict[Any, Any] = {}
+
+
+def _replicating_snapshot(payload):
+    """Jitted copy with fully-replicated out_shardings (multi-host saves)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = None
+    for leaf in jax.tree.leaves(payload):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding):
+            mesh = s.mesh
+            break
+    if mesh is None:  # no sharded leaves: the plain copy suffices
+        return jax.jit(lambda tree: jax.tree.map(jnp.copy, tree))(payload)
+    fn = _SNAPSHOT_REPL.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda tree: jax.tree.map(jnp.copy, tree),
+                     out_shardings=NamedSharding(mesh, PartitionSpec()))
+        _SNAPSHOT_REPL[mesh] = fn
+    return fn(payload)
 
 
 def _materialize(payload):
@@ -110,9 +143,15 @@ def _publish(blob: bytes, jobs: Sequence[Tuple[str, Dict[str, Any]]],
             json.dump(meta, f, indent=2)
 
 
-def save_checkpoint(path: str, state, meta: Dict[str, Any]) -> None:
-    payload = _materialize(_start_fetch(state))
-    blob = serialization.msgpack_serialize(payload)
+def save_checkpoint(path: str, state, meta: Dict[str, Any],
+                    write: bool = True) -> None:
+    """Snapshot + write `state`.  Under multi-host, call on EVERY process
+    (the snapshot is a collective program) with write=True only on the
+    process that owns the file."""
+    payload = _start_fetch(state)
+    if not write:
+        return
+    blob = serialization.msgpack_serialize(_materialize(payload))
     _publish(blob, [(path, meta)])
 
 
@@ -216,13 +255,19 @@ class CheckpointManager:
 
     def __init__(self, version_dir: str,
                  monitors: Tuple[str, ...] = ("valnarr_rec_fixed", "valnarr_triplet"),
-                 async_saves: bool = True):
+                 async_saves: bool = True, write: bool = True):
+        """`write=False` is the non-main multi-host mode: the manager keeps
+        monitor bookkeeping in lockstep and PARTICIPATES in every snapshot
+        (the device-side copy is a collective program every process must
+        dispatch) but never touches the filesystem."""
+        self.write = write
         self.ckpt_dir = os.path.join(version_dir, "checkpoints")
-        os.makedirs(self.ckpt_dir, exist_ok=True)
+        if write:
+            os.makedirs(self.ckpt_dir, exist_ok=True)
         self.monitors = [CheckpointMonitor(self.ckpt_dir, m) for m in monitors]
         self._executor = (ThreadPoolExecutor(max_workers=1,
                                              thread_name_prefix="ckpt-writer")
-                          if async_saves else None)
+                          if async_saves and write else None)
         self._pending: List[Future] = []
 
     def restore_monitor_state(self, monitors_meta) -> None:
@@ -288,8 +333,9 @@ class CheckpointManager:
                 path, stale = decision
                 jobs.append((path, m.meta_dict(epoch, metrics)))
                 removals.extend(stale)
-                logging.info("Saving best %s=%.4f to %s", m.monitor,
-                             m.best_score, path)
+                if self.write:
+                    logging.info("Saving best %s=%.4f to %s", m.monitor,
+                                 m.best_score, path)
         # save_last=True
         jobs.append((os.path.join(self.ckpt_dir, "last.ckpt"), {
             "monitor": None,
@@ -298,7 +344,19 @@ class CheckpointManager:
             "metrics": {k: float(v) for k, v in metrics.items()},
             "monitors": [m.meta_dict(epoch, metrics) for m in self.monitors],
         }))
+        # backpressure: at most ONE save in flight, enforced BEFORE taking
+        # the new snapshot.  Each job pins a full device-side state copy
+        # (params + both optimizer moments) plus its serialized host blob —
+        # with a small val_check_interval and a slow destination disk,
+        # unbounded queuing would OOM HBM or the host instead of throttling
+        # the training thread.
+        if self._executor is not None:
+            self._reap(block=len(self._pending) >= 1)
         payload = _start_fetch(state)
+        if not self.write:
+            # non-main multi-host process: participated in the collective
+            # snapshot above; the writing process owns the files
+            return
 
         def write() -> None:
             blob = serialization.msgpack_serialize(_materialize(payload))
@@ -307,7 +365,6 @@ class CheckpointManager:
         if self._executor is None:
             write()
         else:
-            self._reap(block=False)
             self._pending.append(self._executor.submit(write))
 
     def wait(self) -> None:

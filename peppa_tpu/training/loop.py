@@ -70,22 +70,6 @@ class _NullLogger:
         pass
 
 
-class _NullCheckpointManager:
-    """No-op CheckpointManager for non-main processes (multi-host)."""
-
-    def on_validation_end(self, *a, **k):
-        pass
-
-    def restore_monitor_state(self, *a, **k):
-        pass
-
-    def monitor_state(self):
-        return []
-
-    def wait(self):
-        pass
-
-
 class Trainer:
     def __init__(self, config: Config, log_dir: str = "lightning_logs",
                  version_dir: Optional[str] = None):
@@ -177,8 +161,11 @@ class Trainer:
                 val_shard_fn = lambda b: replicate_batch(b, self.mesh)
             else:
                 val_shard_fn = shard_fn
-            ckpt = CheckpointManager(self.version_dir) if self._main \
-                else _NullCheckpointManager()
+            # every process gets a REAL manager: checkpoint snapshots are
+            # collective device programs all processes must dispatch (leaves
+            # sharded across hosts are not addressable from one process);
+            # only the main process's manager writes files
+            ckpt = CheckpointManager(self.version_dir, write=self._main)
             if resume_from is not None:
                 ckpt.restore_monitor_state(
                     CheckpointManager.resume_monitors_meta(resume_from,
@@ -234,6 +221,7 @@ class Trainer:
                 # state is consistent; save it and stop
                 self._on_preempted(guard, state, micro_step, epoch)
                 done = True
+            epoch_complete = True  # no epoch entered yet counts as complete
             while not done:
                 if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
                     break
@@ -244,6 +232,7 @@ class Trainer:
                     stream = itertools.islice(stream, tcfg.limit_train_batches)
                 prefetcher = self._prefetcher = Prefetcher(
                     stream, shard_fn, self.config.tpu.prefetch)
+                epoch_complete = False
                 with self.mesh:
                     for batch in prefetcher:
                         if profile_dir and micro_step == profile_steps:
@@ -326,6 +315,8 @@ class Trainer:
                             self._on_preempted(guard, state, micro_step, epoch)
                             done = True
                             break
+                    else:
+                        epoch_complete = True
                     # stop the prefetch worker promptly on early exit (a
                     # NonFiniteLossError above also ends the run; the worker
                     # is a daemon thread and cannot block interpreter exit)
@@ -338,10 +329,16 @@ class Trainer:
                         break
 
                     # ---- validation + checkpoints (per epoch, unless a
-                    # step-based val_check_interval drives it instead)
+                    # step-based val_check_interval drives it instead).
+                    # A max_steps/max_time break mid-epoch must record
+                    # epoch - 1 (the last FULLY trained epoch) — same replay
+                    # convention as preemption — or a resume would silently
+                    # skip the untrained remainder of this epoch.
                     if tcfg.val_check_interval is None:
-                        validate_and_checkpoint(state, epoch, micro_step,
-                                                completed_epoch=epoch)
+                        validate_and_checkpoint(
+                            state, epoch, micro_step,
+                            completed_epoch=epoch if epoch_complete
+                            else epoch - 1)
                 epoch += 1
                 if guard.triggered and not done:
                     # preempted during validation: the epoch is complete, so
@@ -352,19 +349,16 @@ class Trainer:
             # (and thus eligible for best-checkpoint selection) when the run
             # ends between interval boundaries.  `epoch` was incremented past
             # the last (possibly partial) epoch on both exit paths, so the
-            # last fully completed epoch is epoch - 2 when the final epoch
-            # broke early and epoch - 1 when it ran to its end; recording
-            # epoch - 2 is the safe choice only for partial exits — use
-            # epoch - 1 when the loop exited on the max_epochs boundary
-            # (every epoch completed) and epoch - 2 otherwise.
+            # last FULLY trained epoch is epoch - 1 when that epoch's stream
+            # was exhausted (epoch_complete) and epoch - 2 when a
+            # max_steps/max_time break left it partial.
             if tcfg.val_check_interval is not None and not self.preempted \
                     and last_val_step != micro_step and micro_step > 0:
-                full_epochs = (tcfg.max_epochs is not None
-                               and epoch >= tcfg.max_epochs)
                 with self.mesh:
                     validate_and_checkpoint(
                         state, epoch, micro_step,
-                        completed_epoch=epoch - 1 if full_epochs else epoch - 2)
+                        completed_epoch=epoch - 1 if epoch_complete
+                        else epoch - 2)
         finally:
             guard.__exit__(None, None, None)
             # an exception mid-epoch (e.g. NonFiniteLossError from the
@@ -391,14 +385,16 @@ class Trainer:
         every process stops.
         """
         path = os.path.join(self.version_dir, "checkpoints", "preempted.ckpt")
-        if self._main:
-            from peppa_tpu.training.checkpoint import save_checkpoint
+        from peppa_tpu.training.checkpoint import save_checkpoint
 
-            save_checkpoint(path, state, {
-                "monitor": None, "epoch": epoch - 1,
-                "monitors": getattr(self, "_ckpt", None).monitor_state()
-                if getattr(self, "_ckpt", None) else [],
-                "reason": f"preempted by {guard.signame} at step {micro_step}"})
+        # every process participates in the collective snapshot; only the
+        # main one writes
+        save_checkpoint(path, state, {
+            "monitor": None, "epoch": epoch - 1,
+            "monitors": getattr(self, "_ckpt", None).monitor_state()
+            if getattr(self, "_ckpt", None) else [],
+            "reason": f"preempted by {guard.signame} at step {micro_step}"},
+            write=self._main)
         logging.info("preemption (%s): resumable state saved to %s, stopping",
                      guard.signame, path)
         self.preempted = True
@@ -414,14 +410,16 @@ class Trainer:
             return
         path = os.path.join(self.version_dir, "checkpoints",
                             "emergency-nonfinite.ckpt")
-        if self._main:
-            from peppa_tpu.training.checkpoint import save_checkpoint
+        from peppa_tpu.training.checkpoint import save_checkpoint
 
-            save_checkpoint(path, state, {
-                "monitor": None, "epoch": epoch,
-                "monitors": getattr(self, "_ckpt", None).monitor_state()
-                if getattr(self, "_ckpt", None) else [],
-                "reason": f"non-finite loss at step {micro_step}"})
+        # every process participates in the collective snapshot; only the
+        # main one writes (shared-FS layout)
+        save_checkpoint(path, state, {
+            "monitor": None, "epoch": epoch,
+            "monitors": getattr(self, "_ckpt", None).monitor_state()
+            if getattr(self, "_ckpt", None) else [],
+            "reason": f"non-finite loss at step {micro_step}"},
+            write=self._main)
         raise NonFiniteLossError(
             f"non-finite train loss at step {micro_step};"
             f" state saved to {path}")

@@ -102,3 +102,53 @@ def test_generate_end_to_end(tmp_path):
     noun = pd.read_csv(eval_dir / "eval_set_narration_NOUN.csv")
     assert {"target_word", "distractor_word", "id_counterexample",
             "clipStart", "clipEnd", "fragment"} <= set(noun.columns)
+
+
+def test_generate_preserves_shipped_annotation_csvs(tmp_path):
+    """generate() with output dir == annotation dir (the reference's default
+    layout: both are data/eval) must snapshot the shipped CSVs to
+    reference_originals/ BEFORE overwriting, and later runs must read the
+    snapshot — never our own previous output."""
+    import pandas as pd
+
+    from peppa_tpu.evaluation.eval_set_generation import (
+        default_annotations_dir, preserve_reference_annotations)
+
+    realign = tmp_path / "data" / "out" / "realign"
+    for ep in range(1, 9):
+        make_realign(realign, "narration", ep, 0, 0,
+                     ["peppa", "loves", "the", "big", "ball"])
+        make_realign(realign, "narration", ep, 0, 1,
+                     ["george", "loves", "the", "little", "ball"])
+    eval_dir = tmp_path / "data" / "eval"
+    eval_dir.mkdir(parents=True)
+    # a stand-in for the reference's shipped (spaCy-annotated) CSV
+    shipped = pd.DataFrame({
+        "id": [0, 1], "target_word": ["big", "little"],
+        "distractor_word": ["little", "big"], "id_counterexample": [1, 0],
+        "transcript": ["peppa loves the big ball",
+                       "george loves the little ball"],
+        "tokenized": ["peppa loves the big ball",
+                      "george loves the little ball"],
+        "lemmatized": ["peppa love the big ball",
+                       "george love the little ball"],
+        "pos": ["NOUN VERB DET ADJ NOUN", "NOUN VERB DET ADJ NOUN"],
+        "clipStart": [0.0, 0.0], "clipEnd": [1.0, 1.0],
+        "fragment": ["narration", "narration"]})
+    shipped_path = eval_dir / "eval_set_narration_ADJ.csv"
+    shipped.to_csv(shipped_path, index=False)
+    shipped_bytes = shipped_path.read_bytes()
+
+    generate(realign_dir=str(realign), eval_dir=str(eval_dir),
+             min_occurrences=4, min_phrase_duration=0.3, pos_tags=["ADJ"])
+
+    preserved = eval_dir / "reference_originals" / "eval_set_narration_ADJ.csv"
+    assert preserved.read_bytes() == shipped_bytes
+    # the output overwrote the eval_dir copy (reference path parity)...
+    assert shipped_path.read_bytes() != shipped_bytes
+    # ...and the annotation source now resolves to the snapshot
+    assert default_annotations_dir(str(realign)) == str(
+        eval_dir / "reference_originals")
+    # a second preserve pass never clobbers the snapshot with our output
+    preserve_reference_annotations(str(eval_dir))
+    assert preserved.read_bytes() == shipped_bytes

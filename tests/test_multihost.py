@@ -137,3 +137,35 @@ def test_trainer_main_process_still_writes(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(trainer.version_dir, "metrics.csv"))
     assert os.path.exists(os.path.join(trainer.version_dir, "checkpoints",
                                        "last.ckpt"))
+
+
+def test_replicating_snapshot_gathers_sharded_leaves():
+    """_replicating_snapshot (the multi-host save path) must return fully
+    replicated copies of sharded leaves: with tensor/data-sharded state, no
+    single process can address every shard, so the snapshot all-gathers via
+    out_shardings before the writing process materializes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from peppa_tpu.training.checkpoint import _replicating_snapshot
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    tree = {
+        "w": jax.device_put(jnp.arange(32.0).reshape(8, 4),
+                            NamedSharding(mesh, PartitionSpec("data",
+                                                              "model"))),
+        "b": jax.device_put(jnp.ones((4,)),
+                            NamedSharding(mesh, PartitionSpec("model"))),
+        "step": jnp.int32(7),
+    }
+    out = _replicating_snapshot(tree)
+    for key in ("w", "b"):
+        assert out[key].sharding.is_fully_replicated, key
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(tree[key]))
+    assert int(out["step"]) == 7
+    # fresh buffers: deleting the source must not invalidate the snapshot
+    tree["w"].delete()
+    np.testing.assert_array_equal(
+        np.asarray(out["w"]), np.arange(32.0).reshape(8, 4))

@@ -262,6 +262,63 @@ def test_resume_restores_monitor_bests(tmp_path):
     assert m2.monitors[1].best_score == 0.94
 
 
+@pytest.mark.slow
+def test_mid_epoch_break_records_last_full_epoch(tmp_path):
+    """A max_steps break mid-epoch must stamp the checkpoint meta with the
+    last FULLY trained epoch (-1 here: epoch 0 was partial), the same replay
+    convention as preemption — recording epoch 0 would make a resume skip
+    the untrained remainder of epoch 0."""
+    import json
+
+    from peppa_tpu.data.datamodule import SyntheticPigData
+    from peppa_tpu.training.loop import Trainer
+
+    # per-epoch validation path (val_check_interval=None)
+    cfg = tiny_config(tmp_path)
+    cfg.training.num_sanity_val_steps = 0
+    cfg.training.limit_train_batches = 4
+    cfg.training.limit_val_batches = 1
+    cfg.training.max_epochs = 1
+    cfg.training.accumulate_grad_batches = 1
+    cfg.training.max_steps = 2  # breaks after micro-step 2 of 4
+    data = SyntheticPigData(cfg, n_train=16, n_val=8)
+    tr = Trainer(cfg, log_dir=str(tmp_path / "a"))
+    tr.fit(data)
+    with open(os.path.join(tr.version_dir, "checkpoints",
+                           "last.ckpt.json")) as f:
+        assert json.load(f)["epoch"] == -1
+
+    # trailing-validation path (val_check_interval set), final epoch partial:
+    # the old full_epochs heuristic stamped epoch 0 here
+    cfg2 = tiny_config(tmp_path)
+    cfg2.training.num_sanity_val_steps = 0
+    cfg2.training.limit_train_batches = 4
+    cfg2.training.limit_val_batches = 1
+    cfg2.training.max_epochs = 1
+    cfg2.training.accumulate_grad_batches = 1
+    cfg2.training.max_steps = 3
+    cfg2.training.val_check_interval = 2
+    data2 = SyntheticPigData(cfg2, n_train=16, n_val=8)
+    tr2 = Trainer(cfg2, log_dir=str(tmp_path / "b"))
+    tr2.fit(data2)
+    with open(os.path.join(tr2.version_dir, "checkpoints",
+                           "last.ckpt.json")) as f:
+        assert json.load(f)["epoch"] == -1
+
+    # and a COMPLETED final epoch still stamps epoch 0
+    cfg3 = tiny_config(tmp_path)
+    cfg3.training.num_sanity_val_steps = 0
+    cfg3.training.limit_train_batches = 2
+    cfg3.training.limit_val_batches = 1
+    cfg3.training.max_epochs = 1
+    data3 = SyntheticPigData(cfg3, n_train=8, n_val=8)
+    tr3 = Trainer(cfg3, log_dir=str(tmp_path / "c"))
+    tr3.fit(data3)
+    with open(os.path.join(tr3.version_dir, "checkpoints",
+                           "last.ckpt.json")) as f:
+        assert json.load(f)["epoch"] == 0
+
+
 def test_resume_from_best_monitor_ckpt_restores_all_bests(tmp_path):
     """Resuming from a BEST-monitor .ckpt (whose sidecar is a single
     monitor meta, not a last.ckpt-style "monitors" list) must restore that
