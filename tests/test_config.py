@@ -4,6 +4,8 @@ import copy
 import os
 
 import pytest
+
+pytestmark = pytest.mark.smoke
 import yaml
 
 from peppa_tpu.config import Config, conditions, default_config, match_conditions

@@ -5,6 +5,8 @@ import wave
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.data import decode as D
 
 

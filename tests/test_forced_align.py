@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.preprocess.forced_align import (
     BLANK,
     CTC_CHARS,

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.data.dataset import PeppaPigDataset, PeppaPigIterableDataset
 from peppa_tpu.data.stats import compute_stats
 from peppa_tpu.data.synthetic import make_synthetic_episode_tree

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.data.cache import PackReader, write_pack
 from peppa_tpu.data.types import Clip
 

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.ops import (
     contrastive,
     cosine_matrix,

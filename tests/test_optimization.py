@@ -7,6 +7,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.training.optimization import (
     bert_adam,
     freeze_mask,

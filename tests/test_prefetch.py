@@ -12,6 +12,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.utils.prefetch import Prefetcher
 
 

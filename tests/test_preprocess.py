@@ -7,6 +7,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from peppa_tpu.data import decode as D
 from peppa_tpu.data.segment import (
     JITTER_MAX_S,
