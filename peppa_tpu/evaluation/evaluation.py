@@ -268,7 +268,10 @@ def merge_scores(versions: Optional[Sequence] = None,
 
 
 def format_tables(results_dir: str = "results") -> None:
-    """results/full_scores.pt -> scores_{dialog,narration}.tex (evaluation.py:202-226)."""
+    """results/full_scores.pt -> scores.csv + scores_{dialog,narration}.tex
+    (reference pig/evaluation.py:202-226; the shipped results/scores.csv is
+    the same score_means frame dumped raw — its 'vidoe_pretrained' column is
+    the reference's typo, kept correct here as 'video_pretrained')."""
     import pandas as pd
     import torch
 
@@ -276,6 +279,13 @@ def format_tables(results_dir: str = "results") -> None:
                       weights_only=False)
     rows = add_condition(rows)
     table_all = score_means(rows)
+    csv_cols = ["fragment_type", "triplet_acc", "triplet_acc_std",
+                "recall_at_10_fixed", "recall_at_10_fixed_std",
+                "recall_at_10_jitter", "recall_at_10_jitter_std", "version",
+                "checkpoint_path", "hparams_path", "jitter", "static",
+                "audio_pretrained", "video_pretrained", "resolution"]
+    (table_all[[c for c in csv_cols if c in table_all.columns]]
+     .to_csv(os.path.join(results_dir, "scores.csv"), index=False))
     for fragment_type in ("dialog", "narration"):
         table = table_all.query(f"fragment_type=='{fragment_type}'").copy()
         table["pretraining"] = pd.Categorical(
@@ -318,19 +328,28 @@ def test_table(results_dir: str = "results") -> None:
 
 
 def data_statistics(results_dir: str = "results", data_dir: str = "data",
-                    target_size=(180, 100)) -> None:
-    """Clip counts/hours per split (reference pig/evaluation.py:23-39)."""
+                    target_size=(180, 100), durations_fn=None) -> None:
+    """Clip counts/hours per split (reference pig/evaluation.py:23-39).
+
+    `durations_fn(split, fragment_type) -> array of segment durations`
+    overrides the dataset scan — the artifact validator uses it to check the
+    writer's structure without episode media on disk.
+    """
     import pandas as pd
+
+    if durations_fn is None:
+        def durations_fn(split, fragment_type):
+            ds = data.PeppaPigIterableDataset(
+                target_size=target_size, split=[split],
+                fragment_type=fragment_type, duration=2.3, data_dir=data_dir)
+            return np.array([s.duration for s in ds._raw_segments()])
 
     rows = []
     for split in ("train", "val", "test"):
         for fragment_type in ("dialog", "narration"):
             if data.SPLIT_SPEC[fragment_type][split] is None:
                 continue
-            ds = data.PeppaPigIterableDataset(
-                target_size=target_size, split=[split],
-                fragment_type=fragment_type, duration=2.3, data_dir=data_dir)
-            durations = np.array([s.duration for s in ds._raw_segments()])
+            durations = np.asarray(durations_fn(split, fragment_type))
             rows.append({"Split": split, "Type": fragment_type,
                          "Size (h)": durations.sum() / 3600,
                          "# Clips": len(durations)})

@@ -31,13 +31,278 @@ Last recorded run (reference @ v0, round 2):
 import argparse
 import logging
 import os
+import re
 import sys
 from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def main(ref: str, generate: bool) -> int:
+
+def parse_tex_tabular(text: str):
+    """(colspec, header_labels, data_rows) from a LaTeX tabular.
+
+    Tolerant of the pandas-version differences that don't change structure
+    (escaping of _ and %, {} row-label header cell, trailing spaces).
+    """
+    m = re.search(r"\\begin\{tabular\}\{([^}]*)\}", text)
+    colspec = m.group(1) if m else ""
+    lines = [ln.strip() for ln in text.splitlines()]
+    rows = []
+    for ln in lines:
+        if (not ln or ln.startswith(("\\begin", "\\end", "\\toprule",
+                                     "\\midrule", "\\bottomrule"))):
+            continue
+        cells = [c.strip().replace("\\_", "_").replace("\\%", "%")
+                 for c in ln.rstrip("\\").rstrip().rstrip("\\").split("&")]
+        rows.append(cells)
+    header = [c for c in rows[0]] if rows else []
+    header = [re.sub(r"^\{\}$", "", h) for h in header]
+    return colspec, header, rows[1:]
+
+
+def check(name: str, cond: bool, detail: str = "") -> bool:
+    print(f"    {'ok' if cond else 'FAIL'}: {name}"
+          + (f" ({detail})" if detail else ""))
+    return cond
+
+
+def classify_residual(ref: str, eval_dir: str) -> bool:
+    """Census of the generated-vs-shipped eval-set residual (round-3 VERDICT
+    item 7): bucket every non-identical row and verify each shipped residual
+    row is a VALID minimal pair under this repo's constraints.
+
+    Buckets (measured on reference @ v0):
+      - duplicate-occurrence: same (transcript, target, distractor) text but
+        a different occurrence of that sentence in the episodes (time deltas
+        up to ~96 s — repeated lines; enumeration order picks the occurrence)
+      - pairing swap: balanced sets of (sentence, word-pair) assignments
+        (a sentence containing several target words can serve either pair;
+        greedy consumption order decides which)
+    Verdict: all 130 shipped residual rows (121 VERB + 9 ADJ) pass this
+    repo's validity checks (masked phrases match, span >= 0.3 s), i.e. the
+    ~2.5% divergence is candidate-selection order among equally valid
+    options — the reference's own output depends on its machine's directory
+    iteration order (generate_targeted_triplets_eval_sets.py:257-352), which
+    the shipped CSVs only partially pin down (unchosen sentences have no
+    recorded order).  FAILS if any shipped residual row is invalid under our
+    constraints (that would be a semantic difference, not ordering).
+    """
+    import ast
+
+    import pandas as pd
+
+    from peppa_tpu.evaluation.eval_set_generation import TOKEN_MASK
+
+    ok = True
+    for pos in ("VERB", "ADJ"):
+        ours = pd.read_csv(f"{eval_dir}/eval_set_narration_{pos}.csv")
+        refd = pd.read_csv(
+            f"{ref}/data/eval/eval_set_narration_{pos}.csv",
+            converters={"tokenized": ast.literal_eval,
+                        "lemmatized": ast.literal_eval,
+                        "words": ast.literal_eval})
+
+        def key(df):
+            return list(zip(df.transcript, df.target_word,
+                            df.distractor_word, df.clipStart.round(2),
+                            df.clipEnd.round(2)))
+
+        ko, kr = Counter(key(ours)), Counter(key(refd))
+        resid = kr - ko
+        refd = refd.set_index("id", drop=False)
+        residual_ids, seen = [], Counter()
+        for i, row in refd.iterrows():
+            k = (row.transcript, row.target_word, row.distractor_word,
+                 round(row.clipStart, 2), round(row.clipEnd, 2))
+            if resid[k] > seen[k]:
+                seen[k] += 1
+                residual_ids.append(i)
+
+        # bucket census
+        k3 = lambda t: (t[0], t[1], t[2])
+        resid_ours = list((ko - kr).elements())
+        dup_occurrence = sum((Counter(k3(t) for t in resid.elements())
+                              & Counter(k3(t) for t in resid_ours)).values())
+        pairing = len(residual_ids) - dup_occurrence
+
+        def phrase_masked(row):
+            lem = row.lemmatized[int(row.start_token_idx):
+                                 int(row.end_token_idx) + 1]
+            return [w if l != row.target_word else TOKEN_MASK
+                    for w, l in zip(row.tokenized, lem)]
+
+        invalid = 0
+        for i in residual_ids:
+            ex, ce = refd.loc[i], refd.loc[refd.loc[i].id_counterexample]
+            dur = (ex.words[-1]["end"] - ex.words[0]["start"]
+                   if ex.words else -1)
+            dur2 = (ce.words[-1]["end"] - ce.words[0]["start"]
+                    if ce.words else -1)
+            m1, m2 = phrase_masked(ex), phrase_masked(ce)
+            if not (dur >= 0.3 and dur2 >= 0.3 and m1 == m2
+                    and TOKEN_MASK in m1):
+                invalid += 1
+        total = max(len(refd), 1)
+        print(f"[5] {pos}: {total - len(residual_ids)}/{total} identical; "
+              f"residual census: {dup_occurrence} duplicate-occurrence + "
+              f"{pairing} pairing-swap; "
+              f"{len(residual_ids) - invalid}/{len(residual_ids)} residual "
+              f"rows valid under our constraints")
+        if invalid:
+            print(f"    FAIL: {invalid} shipped residual rows are INVALID "
+                  "under our constraints — semantic divergence, not ordering")
+            ok = False
+    return ok
+
+
+def validate_artifacts(ref: str) -> bool:
+    """Golden structural diff of the analysis/evaluation table writers
+    against the reference's shipped results/ artifacts.
+
+    Drives full_scores -> merge -> format_tables/test_table,
+    data_statistics, and the RSA correlation_table on synthetic inputs
+    shaped like the reference's, then compares column sets, header labels,
+    row labels, and value formatting against /root/reference/results/
+    {scores_narration.tex, scores_dialog.tex, scores_test.tex, scores.csv,
+    data_statistics.csv, rsa_dialog_correlations.{csv,tex}}
+    (reference pig/evaluation.py:202-291, pig/stats.py).  Fails on
+    structural drift.
+    """
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from peppa_tpu.analysis.stats import correlation_table
+    from peppa_tpu.evaluation.evaluation import (_torch_save, add_condition,
+                                                 data_statistics,
+                                                 format_tables, test_table)
+
+    ok = True
+    rng = np.random.default_rng(0)
+    ref_results = os.path.join(ref, "results")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # ---- full_scores rows for the 7 published conditions, shaped like
+        # full_score()'s output (bootstrap tensors), hparams from this repo
+        presets = ["hparams_base.yaml", "hparams_jitter.yaml",
+                   "hparams_static.yaml", "hparams_pretraining_a.yaml",
+                   "hparams_pretraining_v.yaml", "hparams_pretraining_none.yaml",
+                   "hparams_freeze_wav2vec.yaml"]
+        rows = []
+        for v, preset in enumerate(presets):
+            for fragment_type in ("dialog", "narration"):
+                rows.append(dict(
+                    fragment_type=fragment_type,
+                    version=v,
+                    checkpoint_path=f"{tmp}/version_{v}/fake.ckpt",
+                    hparams_path=os.path.join(REPO, preset),
+                    triplet_acc=rng.uniform(0.5, 0.9, size=500),
+                    recall_at_10_fixed=rng.uniform(0.2, 0.7, size=(500, 1)),
+                    recall_at_10_jitter=rng.uniform(0.2, 0.7, size=(500, 1)),
+                    scrambled_video=False))
+        _torch_save(rows, os.path.join(tmp, "full_scores.pt"))
+        format_tables(results_dir=tmp)
+        _torch_save([r for r in rows if r["fragment_type"] == "narration"],
+                    os.path.join(tmp, "full_test_scores.pt"))
+        test_table(results_dir=tmp)
+
+        # ---- scores_{dialog,narration}.tex
+        for ft in ("dialog", "narration"):
+            with open(f"{ref_results}/scores_{ft}.tex") as f:
+                r_spec, r_head, r_rows = parse_tex_tabular(f.read())
+            with open(f"{tmp}/scores_{ft}.tex") as f:
+                o_spec, o_head, o_rows = parse_tex_tabular(f.read())
+            ok &= check(f"scores_{ft}.tex header", o_head == r_head,
+                        f"{o_head} vs {r_head}")
+            ok &= check(f"scores_{ft}.tex rows", len(o_rows) == len(presets))
+            float_re = re.compile(r"^\d\.\d{3}$")
+            ok &= check(
+                f"scores_{ft}.tex float format %.3f",
+                all(float_re.match(c) for row in o_rows for c in row[-3:]))
+            ok &= check(
+                f"scores_{ft}.tex Static/Jitter cells",
+                all(c in ("", "Yes") for row in o_rows for c in row[1:3]))
+            ok &= check(
+                f"scores_{ft}.tex Pretraining categories",
+                {row[3] for row in o_rows} <= {"AV", "A", "V", "None"})
+
+        # ---- scores_test.tex
+        with open(f"{ref_results}/scores_test.tex") as f:
+            _, r_head, r_rows = parse_tex_tabular(f.read())
+        with open(f"{tmp}/scores_test.tex") as f:
+            _, o_head, o_rows = parse_tex_tabular(f.read())
+        ok &= check("scores_test.tex header", o_head == r_head,
+                    f"{o_head} vs {r_head}")
+        cell_re = re.compile(r"^\d\.\d{2} \xb1 \d\.\d{2}$")
+        ok &= check("scores_test.tex cell format 'x.xx ± x.xx'",
+                    len(o_rows) == 1
+                    and all(cell_re.match(c) for c in o_rows[0]),
+                    str(o_rows))
+
+        # ---- scores.csv
+        r_csv = pd.read_csv(f"{ref_results}/scores.csv")
+        o_csv = pd.read_csv(f"{tmp}/scores.csv")
+        r_cols = [c.replace("vidoe_", "video_") for c in r_csv.columns]
+        ok &= check("scores.csv columns (ref typo vidoe_ normalized)",
+                    list(o_csv.columns) == r_cols,
+                    f"{list(o_csv.columns)} vs {r_cols}")
+        ok &= check("scores.csv fragment types",
+                    set(o_csv.fragment_type) == set(r_csv.fragment_type))
+
+        # ---- data_statistics.csv
+        data_statistics(results_dir=tmp,
+                        durations_fn=lambda s, ft: rng.uniform(
+                            1.0, 5.0, size=100))
+        r_csv = pd.read_csv(f"{ref_results}/data_statistics.csv")
+        o_csv = pd.read_csv(f"{tmp}/data_statistics.csv")
+        ok &= check("data_statistics.csv columns",
+                    list(o_csv.columns) == list(r_csv.columns),
+                    f"{list(o_csv.columns)} vs {list(r_csv.columns)}")
+        ok &= check("data_statistics.csv split/type rows",
+                    list(zip(o_csv.Split, o_csv.Type))
+                    == list(zip(r_csv.Split, r_csv.Type)),
+                    str(list(zip(o_csv.Split, o_csv.Type))))
+
+        # ---- rsa correlation tables (analysis/stats.py::correlation_table)
+        n = 400
+        pairwise = pd.DataFrame({
+            "fragment_type": ["dialog"] * n,
+            "samespeaker": rng.integers(0, 2, n).astype(float),
+            "sameepisode": rng.integers(0, 2, n).astype(float),
+            "sametype": rng.integers(0, 2, n).astype(float),
+            "semsim": rng.normal(size=n),
+            "distance": rng.uniform(0, 5, n),
+            "durationdiff": rng.uniform(0, 3, n),
+            "sim_0": rng.normal(size=n),
+            "sim_1": rng.normal(size=n),
+            "sim_2": rng.normal(size=n)})
+        correlation_table(pairwise, "dialog", results_dir=tmp)
+        r_csv = pd.read_csv(f"{ref_results}/rsa_dialog_correlations.csv",
+                            index_col=0)
+        o_csv = pd.read_csv(f"{tmp}/rsa_dialog_correlations.csv", index_col=0)
+        ok &= check("rsa_dialog_correlations.csv columns",
+                    list(o_csv.columns) == list(r_csv.columns),
+                    f"{list(o_csv.columns)} vs {list(r_csv.columns)}")
+        ok &= check("rsa_dialog_correlations.csv row labels",
+                    list(o_csv.index) == list(r_csv.index))
+        if os.path.exists(f"{tmp}/rsa_dialog_correlations.tex"):
+            with open(f"{ref_results}/rsa_dialog_correlations.tex") as f:
+                _, r_head, r_rows = parse_tex_tabular(f.read())
+            with open(f"{tmp}/rsa_dialog_correlations.tex") as f:
+                _, o_head, o_rows = parse_tex_tabular(f.read())
+            ok &= check("rsa_dialog_correlations.tex header labels",
+                        [h for h in o_head if h]
+                        == [h for h in r_head if h],
+                        f"{o_head} vs {r_head}")
+            ok &= check("rsa_dialog_correlations.tex row labels",
+                        [r[0] for r in o_rows] == [r[0] for r in r_rows])
+    return ok
+
+
+def main(ref: str, generate: bool, artifacts: bool = False) -> int:
     import pandas as pd
 
     from peppa_tpu.analysis.grsa import UttData, realign_paths
@@ -105,6 +370,13 @@ def main(ref: str, generate: bool) -> int:
                 if pct < 95.0:
                     print(f"    FAIL: <95% row agreement for {pos}")
                     ok = False
+            # residual census + per-row validity verdict (VERDICT item 7)
+            ok &= classify_residual(ref, tmp)
+
+    # 4. golden structural diff of table writers vs shipped results/
+    if artifacts:
+        print("[4] artifact structure vs shipped results/:")
+        ok &= validate_artifacts(ref)
     return 0 if ok else 1
 
 
@@ -113,5 +385,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("reference", nargs="?", default="/root/reference")
     parser.add_argument("--generate", action="store_true")
+    parser.add_argument("--artifacts", action="store_true",
+                        help="golden structural diff of table writers vs "
+                             "the reference's shipped results/ artifacts")
     args = parser.parse_args()
-    sys.exit(main(args.reference, args.generate))
+    sys.exit(main(args.reference, args.generate, args.artifacts))
