@@ -420,6 +420,316 @@ def probe_stem_s2d():
         print(f"stem {name}: {dt*1000:.2f} ms/batch", flush=True)
 
 
+def probe_peak_chained():
+    """GEMM peak WITHOUT per-iteration RNG: x_{i+1} = rescale(x_i @ W).
+
+    probe_peak generates fresh random operands INSIDE each timed iteration —
+    at 8192x4096x4096 that is ~50M normal samples (threefry + erf-inv on the
+    VPU) per GEMM, potentially comparable to the ~1.4 ms the MXU needs for
+    the GEMM itself at spec, which would understate the bf16 peak and is the
+    prime suspect for the round-2 calibration anomaly (bf16 at 36% of the
+    197 TF/s v5e spec while int8 slope-measured ABOVE its 394 TOPS spec).
+
+    Here the only per-iteration work is the GEMM plus an O(m*k) rescale
+    (vs the GEMM's O(m*k*n)): the carried activation is renormalized by a
+    scalar so the chain stays finite, and every iteration's input is distinct
+    (relay dedup defeated by the data dependence itself).  W is drawn once
+    OUTSIDE the scan.  Ratio of chained to rng-in-loop time isolates the
+    pollution; rng cost is also measured directly (probe_rng_cost).
+    """
+    shapes = [
+        ("bf16 4096^3", (4096, 4096, 4096), jnp.bfloat16),
+        ("bf16 8192x4096x4096", (8192, 4096, 4096), jnp.bfloat16),
+        ("bf16 8192^3", (8192, 8192, 8192), jnp.bfloat16),
+        ("bf16 16384x8192x8192", (16384, 8192, 8192), jnp.bfloat16),
+        ("f32 4096^3", (4096, 4096, 4096), jnp.float32),
+        ("int8->int32 8192^3", (8192, 8192, 8192), jnp.int8),
+    ]
+    for name, (m, k, n), dt in shapes:
+        if k != n:
+            continue  # chaining needs square W
+
+        def make_chain(m=m, k=k, dt=dt):
+            @functools.partial(jax.jit, static_argnames=("iters",))
+            def chain(seed, iters):
+                key_x, key_w = jax.random.split(jax.random.PRNGKey(seed))
+                if dt == jnp.int8:
+                    x0 = jax.random.randint(key_x, (m, k), -127, 127, jnp.int8)
+                    w = jax.random.randint(key_w, (k, k), -2, 3, jnp.int8)
+
+                    def body(x, _):
+                        y = jax.lax.dot(x, w,
+                                        preferred_element_type=jnp.int32)
+                        # fold back into int8 range, data-dependently
+                        return (y % 251 - 125).astype(jnp.int8), None
+                else:
+                    x0 = jax.random.normal(key_x, (m, k), dt)
+                    # spectral radius ~2*0.5=1: the chain neither explodes nor
+                    # vanishes over the few iterations timed, so the body is
+                    # the bare GEMM — zero extra passes over the data
+                    w = (jax.random.normal(key_w, (k, k), dt)
+                         * (0.5 / np.sqrt(k))).astype(dt)
+
+                    def body(x, _):
+                        return jax.lax.dot(x, w), None
+
+                xk, _ = jax.lax.scan(body, x0, None, length=iters)
+                return jnp.sum(xk.astype(jnp.float32))
+
+            return chain
+
+        chain = make_chain()
+
+        def timed(seed, iters):
+            t0 = time.perf_counter()
+            v = float(np.asarray(chain(seed, iters)))
+            assert np.isfinite(v) or dt == jnp.int8
+            return time.perf_counter() - t0
+
+        try:
+            k_small, k_large = 4, 12
+            timed(0, k_small)
+            timed(0, k_large)
+            # slope between two iteration counts cancels dispatch AND the
+            # one-time x0/W generation
+            per = min((timed(1 + r, k_large) - timed(101 + r, k_small))
+                      / (k_large - k_small) for r in range(2))
+            tf = 2 * m * k * n / per / 1e12
+            print(f"chained {name}: {per*1000:.2f} ms -> {tf:.1f} TF/s",
+                  flush=True)
+        except Exception as e:
+            print(f"chained {name}: failed ({type(e).__name__}: {e})",
+                  flush=True)
+
+
+def chained_time(step_fn, x0, n_rep=5, min_signal_s=1.0):
+    """Time a shape-preserving step via the data-dependent chain method.
+
+    step_fn(x) -> x' (same shape/dtype).  The chain defeats relay result
+    caching without per-iteration RNG, so the measurement is the step alone.
+    Returns seconds per step from the slope between two chain lengths; the
+    lengths are auto-calibrated so the slope signal is >= min_signal_s —
+    sub-ms steps need hundreds of iterations to rise above the tunnel's
+    dispatch jitter (a fixed small k produced NEGATIVE times for cheap ops).
+    """
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(x, iters):
+        def body(i, x):
+            y = step_fn(x)
+            # renormalize so hundreds of applications of a non-contractive
+            # part neither blow up nor underflow; same O(numel) cost for
+            # every variant compared, so comparisons are unaffected
+            scale = jax.lax.rsqrt(
+                jnp.mean(jnp.square(y.astype(jnp.float32))) + 1e-12)
+            return (y.astype(jnp.float32) * scale).astype(y.dtype)
+
+        xk = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(xk.astype(jnp.float32))
+
+    # every call gets a globally unique input perturbation: reusing ANY
+    # previous input value lets the relay serve a cached result (measured as
+    # instant returns -> negative slopes)
+    counter = [0]
+
+    def timed(iters):
+        counter[0] += 1
+        x = x0 * (1 + 1e-6 * counter[0])
+        t0 = time.perf_counter()
+        v = float(np.asarray(chain(x, iters)))
+        assert np.isfinite(v), f"chain diverged: {v}"
+        return time.perf_counter() - t0
+
+    # pilot: estimate per-step cost, then size the chain lengths so the
+    # slope signal dwarfs the tunnel's dispatch jitter (observed at
+    # ~0.1-0.3 s occasionally — a 0.15 s signal produced NEGATIVE slopes)
+    k_small = 4
+    timed(k_small)  # compile k_small
+    pilot = max(min(timed(64) - timed(k_small) for _ in range(2)) / 60, 2e-6)
+    k_large = k_small + int(np.clip(np.ceil(min_signal_s / pilot), 64, 8192))
+    timed(k_large)  # compile k_large
+    slopes = sorted((timed(k_large) - timed(k_small)) / (k_large - k_small)
+                    for _ in range(max(n_rep, 3)))
+    return slopes[len(slopes) // 2]  # median: robust to dispatch jitter
+
+
+def probe_layer_parts():
+    """RNG-free decomposition of the wav2vec2 transformer layer (B=32, T=317).
+
+    Round-3 calibration (probe_peak_chained) puts the true bf16 practical
+    peak at ~180 TF/s — 2.5x the round-2 number — which re-opens the
+    question this probe answers: the layer measures ~2.0 ms RNG-free versus
+    0.85 ms ideal; where do the extra milliseconds sit?  Each part is timed
+    by the chain method (x -> part -> renorm -> x), so no RNG pollutes the
+    slope and relay caching is defeated by the data dependence.
+    """
+    from peppa_tpu.models.wav2vec2 import (SelfAttention, TransformerLayer,
+                                           Wav2Vec2Config, gelu)
+
+    T = 317
+    cfg = Wav2Vec2Config()
+    d, f = cfg.embed_dim, cfg.ffn_dim
+    dt16 = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((B, T, d)), dt16)
+
+    # matmul FLOPs per layer: QKVO + FFN denses + the two attention einsums
+    layer_flops = 2 * B * T * (4 * d * d + 2 * d * f) + 4 * B * T * T * d
+
+    # --- full layer, pallas vs xla attention (eval path, deterministic)
+    for name, use_pallas in (("layer pallas", True), ("layer xla", False)):
+        layer = TransformerLayer(cfg, dt16, use_pallas=use_pallas)
+        params = layer.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, T, d)), None, True)
+        step = lambda x, layer=layer, params=params: layer.apply(
+            params, x, None, True).astype(dt16)
+        per = chained_time(step, x0)
+        print(f"{name}: {per*1000:.3f} ms -> {layer_flops/per/1e12:.1f} TF/s",
+              flush=True)
+
+    # --- attention block alone (4 projections + fused attention)
+    for name, use_pallas in (("attn-block pallas", True),
+                             ("attn-block xla", False)):
+        att = SelfAttention(cfg, dt16, use_pallas=use_pallas)
+        params = att.init(jax.random.PRNGKey(0), jnp.zeros((1, T, d)), None,
+                          True)
+        step = lambda x, att=att, params=params: att.apply(
+            params, x, None, True).astype(dt16)
+        per = chained_time(step, x0)
+        print(f"{name}: {per*1000:.3f} ms", flush=True)
+
+    # --- FFN-shaped GEMM pair: (B*T,768)@(768,3072)@(3072,768)
+    m = B * T
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * (0.5 / np.sqrt(d)), dt16)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * (0.5 / np.sqrt(f)), dt16)
+    x2 = jnp.asarray(rng.standard_normal((m, d)), dt16)
+    step = lambda x: jax.lax.dot(jax.lax.dot(x, w1), w2)
+    per = chained_time(step, x2)
+    tf = 2 * m * d * f * 2 / per / 1e12
+    print(f"ffn gemm pair (m={m}): {per*1000:.3f} ms -> {tf:.1f} TF/s",
+          flush=True)
+
+    # --- FFN pair with exact-GELU epilogue (the real FFN)
+    step = lambda x: jax.lax.dot(gelu(jax.lax.dot(x, w1)), w2)
+    per = chained_time(step, x2)
+    print(f"ffn gemm pair + gelu: {per*1000:.3f} ms", flush=True)
+
+    # --- QKVO-shaped square GEMM chain: (B*T,768)@(768,768)
+    w3 = jnp.asarray(rng.standard_normal((d, d)) * (0.5 / np.sqrt(d)), dt16)
+    step = lambda x: jax.lax.dot(x, w3)
+    per = chained_time(step, x2)
+    tf = 2 * m * d * d / per / 1e12
+    print(f"qkvo gemm (m={m}): {per*1000:.3f} ms -> {tf:.1f} TF/s", flush=True)
+
+    # --- 3 separate QKV dots vs one fused (768 -> 2304) GEMM
+    wq, wk, wv = (jnp.asarray(rng.standard_normal((d, d)) * 0.02, dt16)
+                  for _ in range(3))
+    step = lambda x: ((jax.lax.dot(x, wq) + jax.lax.dot(x, wk)
+                       + jax.lax.dot(x, wv)) / 3).astype(dt16)
+    per3 = chained_time(step, x2)
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+    step = lambda x: (jax.lax.dot(x, wqkv).reshape(m, 3, d).mean(axis=1)
+                      ).astype(dt16)
+    perf_ = chained_time(step, x2)
+    print(f"qkv 3 dots: {per3*1000:.3f} ms; fused 768->2304: "
+          f"{perf_*1000:.3f} ms", flush=True)
+
+    # --- attention core alone (no projections): q=k=v from the carried x
+    from peppa_tpu.ops.pallas.attention import mha_attention
+    h, hd = cfg.num_heads, d // cfg.num_heads
+
+    def core_pallas(x):
+        q = x.reshape(B, T, h, hd)
+        return mha_attention(q, q, q, lengths=None,
+                             scale=hd ** -0.5).reshape(B, T, d).astype(dt16)
+
+    def core_xla(x):
+        q = x.reshape(B, T, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, q,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt16)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, q).reshape(B, T, d)
+
+    for name, core in (("attn-core pallas", core_pallas),
+                       ("attn-core xla", core_xla)):
+        per = chained_time(core, x0)
+        print(f"{name}: {per*1000:.3f} ms", flush=True)
+
+    # --- attention core at longer T: where is the pallas/xla crossover?
+    for t2 in (640, 1280):
+        x4 = jnp.asarray(rng.standard_normal((8, t2, d)), dt16)
+
+        def core_pallas2(x, t2=t2):
+            q = x.reshape(8, t2, h, hd)
+            return mha_attention(q, q, q, lengths=None,
+                                 scale=hd ** -0.5).reshape(8, t2, d) \
+                .astype(dt16)
+
+        def core_xla2(x, t2=t2):
+            q = x.reshape(8, t2, h, hd)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, q,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt16)
+            return jnp.einsum("bhqk,bkhd->bqhd", probs, q).reshape(8, t2, d)
+
+        for name, core in ((f"attn-core T={t2} pallas", core_pallas2),
+                           (f"attn-core T={t2} xla", core_xla2)):
+            per = chained_time(core, x4)
+            print(f"{name}: {per*1000:.3f} ms", flush=True)
+
+    # --- LayerNorm f32 (current) vs bf16 compute on (B,T,768)
+    import flax.linen as nn
+    for name, ln_dt in (("ln f32", jnp.float32), ("ln bf16", dt16)):
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt)
+        params = ln.init(jax.random.PRNGKey(0), jnp.zeros((1, T, d)))
+        step = lambda x, ln=ln, params=params: ln.apply(params, x).astype(dt16)
+        per = chained_time(step, x0)
+        print(f"{name}: {per*1000:.3f} ms", flush=True)
+
+    # --- GELU alone on the (B,T,3072) intermediate
+    x3 = jnp.asarray(rng.standard_normal((B, T, f)) * 0.1, dt16)
+    per = chained_time(lambda x: gelu(x), x3)
+    print(f"gelu (B,T,3072): {per*1000:.3f} ms", flush=True)
+
+
+def probe_rng_cost():
+    """Direct cost of the per-iteration RNG that probe_peak folds into its
+    GEMM timings: generate the same operand volumes, no matmul."""
+    cases = [
+        ("normal bf16 8192x4096 + 4096x4096", [(8192, 4096), (4096, 4096)],
+         "normal", jnp.bfloat16),
+        ("normal bf16 2x 8192x8192", [(8192, 8192), (8192, 8192)],
+         "normal", jnp.bfloat16),
+        ("randint int8 2x 8192x8192", [(8192, 8192), (8192, 8192)],
+         "randint", jnp.int8),
+        ("normal f32 2x 4096x4096", [(4096, 4096), (4096, 4096)],
+         "normal", jnp.float32),
+        # the model probes' per-iteration input volumes: how much of each
+        # part measurement is RNG, not the part?
+        ("uniform f32 video batch (32,23,100,180,3)",
+         [(32, 23, 100, 180, 3)], "uniform", jnp.float32),
+        ("normal f32 audio batch (32,101430)",
+         [(32, 101430)], "normal", jnp.float32),
+        ("normal f32 transformer input (32,317,768)",
+         [(32, 317, 768)], "normal", jnp.float32),
+    ]
+    for name, shapes, kind, dt in cases:
+        def fn(p, key, shapes=shapes, kind=kind, dt=dt):
+            acc = jnp.zeros((), jnp.float32)
+            for i, s in enumerate(shapes):
+                k = jax.random.fold_in(key, i)
+                if kind == "randint":
+                    x = jax.random.randint(k, s, -127, 127, dt)
+                elif kind == "uniform":
+                    x = jax.random.uniform(k, s, dt)
+                else:
+                    x = jax.random.normal(k, s, dt)
+                acc = acc + jnp.sum(x.astype(jnp.float32))
+            return acc
+
+        dt_s = slope_time(fn, ())
+        print(f"rng {name}: {dt_s*1000:.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "video"
     if what == "video":
@@ -438,3 +748,9 @@ if __name__ == "__main__":
         probe_train_parts()
     elif what == "peak":
         probe_peak()
+    elif what == "peak_chained":
+        probe_peak_chained()
+    elif what == "rng_cost":
+        probe_rng_cost()
+    elif what == "layer_parts":
+        probe_layer_parts()
