@@ -112,6 +112,15 @@ def decode_audio(path: str, start: float, end: float,
         return a
     if path.endswith(".wav") and not have_ffmpeg():
         return _read_wav(path, start, end, sample_rate)
+    if path.endswith(".avi") and not have_ffmpeg():
+        # PCM-in-AVI written by preprocess (data/avi.py) — no ffmpeg needed
+        from peppa_tpu.data.avi import read_avi_audio
+
+        audio, sr = read_avi_audio(path)
+        a = audio[int(round(start * sr)):int(round(end * sr))]
+        if sr != sample_rate:
+            a = resample_linear(a, sr, sample_rate)
+        return a
     if have_ffmpeg():
         cmd = ["ffmpeg", "-v", "error", "-ss", f"{start:.6f}", "-t",
                f"{end - start:.6f}", "-i", path, "-f", "f32le", "-acodec",

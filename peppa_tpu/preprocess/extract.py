@@ -41,8 +41,12 @@ def episode_titles(data_dir: str = "data"):
 
 
 def extract(target_size: Tuple[int, int] = (180, 100),
-            data_dir: str = "data") -> None:
-    """Extract all annotated episodes (reference pig/preprocess.py:10-22)."""
+            data_dir: str = "data", container: str = "npz") -> None:
+    """Extract all annotated episodes (reference pig/preprocess.py:10-22).
+
+    container='avi' writes the reference's own clip format (mpeg4 .avi +
+    .json sidecar) so an extracted tree feeds back into the reference stack.
+    """
     logging.basicConfig(level=logging.INFO)
     titles = episode_titles(data_dir)
     episodes = glob.glob(os.path.join(data_dir, "in", "peppa", "episodes",
@@ -51,11 +55,11 @@ def extract(target_size: Tuple[int, int] = (180, 100),
         with open(path) as f:
             annotation = json.load(f)
         extract_from_episode(annotation, titles[annotation["title"]],
-                             target_size, data_dir)
+                             target_size, data_dir, container=container)
 
 
 def extract_realines(target_size: Tuple[int, int] = (180, 100),
-                     data_dir: str = "data") -> None:
+                     data_dir: str = "data", container: str = "npz") -> None:
     """Re-cut clips around successfully force-aligned word spans.
 
     Parity: reference pig/preprocess.py:74-89 (extract_realines): for each
@@ -90,14 +94,35 @@ def extract_realines(target_size: Tuple[int, int] = (180, 100),
                                      src_fps / FPS)).astype(int)
             video = video[idx[idx < video.shape[0]]]
             audio = D.decode_audio(episode_path, start, end)
-            out = os.path.splitext(meta["path"])[0] + ".npz"
-            D.save_clip_npz(out, (np.clip(video, 0, 1) * 255).astype(np.uint8),
-                            audio, fps=FPS)
+            _write_clip(os.path.splitext(meta["path"])[0],
+                        (np.clip(video, 0, 1) * 255).astype(np.uint8),
+                        audio, container)
+
+
+def _write_clip(path_base: str, video_uint8: np.ndarray, audio: np.ndarray,
+                container: str, meta=None,
+                sample_rate: int = D.DEFAULT_SAMPLE_RATE) -> str:
+    """Write one clip as .npz (TPU pipeline native) or .avi (mpeg4 + PCM,
+    the reference-consumable container of pig/preprocess.py:45-55, with the
+    reference's {i}.json metadata sidecar)."""
+    if container == "avi":
+        from peppa_tpu.data.avi import write_clip_avi
+
+        out = path_base + ".avi"
+        write_clip_avi(out, video_uint8, audio, fps=FPS, rate=sample_rate)
+        if meta is not None:
+            with open(path_base + ".json", "w") as f:
+                json.dump(meta, f)
+        return out
+    out = path_base + ".npz"
+    D.save_clip_npz(out, video_uint8, audio, fps=FPS, meta=meta)
+    return out
 
 
 def extract_from_episode(annotation: dict, video_path: str,
                          target_size: Tuple[int, int],
-                         data_dir: str = "data") -> None:
+                         data_dir: str = "data",
+                         container: str = "npz") -> None:
     """Cut one episode's dialog/narration spans (reference preprocess.py:25-57)."""
     import pandas as pd
 
@@ -127,6 +152,6 @@ def extract_from_episode(annotation: dict, video_path: str,
             idx = idx[idx < video.shape[0]]
             video = video[idx]
             audio = D.decode_audio(video_path, begin, end)
-            D.save_clip_npz(os.path.join(outdir, f"{i}.npz"),
-                            (np.clip(video, 0, 1) * 255).astype(np.uint8),
-                            audio, fps=FPS, meta=meta)
+            _write_clip(os.path.join(outdir, str(i)),
+                        (np.clip(video, 0, 1) * 255).astype(np.uint8),
+                        audio, container, meta=meta)
