@@ -234,9 +234,15 @@ def hashing_text_embedder(dim: int = 300, n: int = 3) -> Callable:
 
 def glove_text_embedder(path: Optional[str] = None, dim: int = 300,
                         data_dir: str = "data") -> Optional[Callable]:
-    """Word-vector embedder from a local GloVe .txt (summed over words)."""
+    """Word-vector embedder from a local GloVe .txt (summed over words).
+
+    Files sort by name: a real glove.840B subset dropped into data/in/glove/
+    wins over the trained zz_corpus_glove.*.txt (analysis/glove.py).  The
+    vector dimension is taken from the file itself.
+    """
     if path is None:
-        cands = globlib.glob(os.path.join(data_dir, "in", "glove", "*.txt"))
+        cands = sorted(globlib.glob(
+            os.path.join(data_dir, "in", "glove", "*.txt")))
         if not cands:
             return None
         path = cands[0]
@@ -245,6 +251,8 @@ def glove_text_embedder(path: Optional[str] = None, dim: int = 300,
         for line in f:
             parts = line.rstrip().split(" ")
             vectors[parts[0]] = np.asarray(parts[1:], np.float32)
+    if vectors:
+        dim = len(next(iter(vectors.values())))
 
     def embed(text: str) -> np.ndarray:
         vs = [vectors.get(w.lower(), np.zeros(dim, np.float32))
@@ -338,6 +346,12 @@ def make_text_embedder(kind: str = "auto", data_dir: str = "data") -> Callable:
             return gl
         if kind == "glove":
             raise RuntimeError("no local GloVe vectors found")
+    if kind == "glove_corpus":
+        # train (once, cached) the GloVe objective on the realign corpus
+        from peppa_tpu.analysis.glove import ensure_corpus_glove
+
+        path = ensure_corpus_glove(data_dir)
+        return glove_text_embedder(path=path, data_dir=data_dir)
     if kind in ("corpus", "auto"):
         ce = corpus_text_embedder(data_dir=data_dir)
         if ce is not None:
