@@ -7,14 +7,27 @@ plus the similarity+recall scoring, vs the 5000 pairs/s/chip target.
 Measurement method: the per-execution host<->device round trip in this
 environment (tunneled PJRT) costs ~35 ms regardless of the computation, so a
 single timed dispatch measures the tunnel, not the chip.  Instead the batch
-loop runs ON DEVICE — one jit'd program `lax.scan`s over K batches generated
-on device from per-iteration PRNG keys (distinct inputs; nothing can be
-constant-folded or result-cached), reducing each batch's outputs into a
+loop runs ON DEVICE — one jit'd program `lax.scan`s over K batches, each a
+cheap key-derived perturbation of a base batch drawn once (distinct inputs,
+so nothing can be constant-folded, loop-hoisted, or result-cached, without
+paying per-iteration threefry for 300M+ elements), reducing each batch's
+outputs into a
 carried scalar so no large buffer ever leaves the chip.  Throughput is taken
 from the slope between a K_small and a K_large run, which cancels the fixed
 dispatch/fetch overhead exactly; host transfer is one scalar either way.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Since round 3 the line also carries `host_fed_pairs_per_sec`: the SUSTAINED
+throughput of the full input-inclusive pipeline — packed clip cache on disk
+-> native C++ loader (mmap + thread-pool batch assembly) -> Prefetcher
+(device_put off-thread) -> the same jit'd encode+score program — measured
+over >= BENCH_HOST_SECONDS (default 30 s) of steady state.  This is the
+honest end-to-end number; on THIS tunneled host it is transfer-bound (the
+PJRT relay moves ~30 MB/s; each 2.3 s pair is ~1.65 MB), see PERF.md
+"Host-fed pipeline".  On a real TPU host the same pipeline is device-bound.
+Reference role being matched: the 12-worker DataLoader feed
+(hparams_base.yaml:12, pig/data.py:285-294).
 """
 
 import json
@@ -64,14 +77,23 @@ def main():
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   audio_samples=samples, video_frames=frames)
 
-    def one_batch(vs, key):
-        kv, ka = jax.random.split(key)
+    def one_batch(vs, base_video, base_audio, key):
+        # Per-iteration inputs must be DISTINCT (XLA would hoist a
+        # loop-invariant batch out of the scan; the relay caches identical
+        # executions) but generating 300M+ fresh random elements per batch
+        # costs real VPU milliseconds that belong to the harness, not the
+        # model (the same RNG pollution that skewed the round-2 peak
+        # calibration, PERF.md).  So the base batch is drawn ONCE and each
+        # iteration derives a distinct variant for ~one HBM pass: uint8 video
+        # XOR a key-derived byte (stays uniform), audio scaled by 1 +- 1e-3.
+        kb, ks = jax.random.split(key)
+        vbyte = jax.random.randint(kb, (), 0, 256, jnp.uint8)
+        ascale = 1.0 + jax.random.uniform(ks, (), jnp.float32, -1e-3, 1e-3)
         batch = ClipBatch(
             # uint8 video: the production input format (native loader ships
             # uint8; /255 + channel norm fuse on device)
-            video=jax.random.randint(kv, (b, frames, 100, 180, 3), 0, 256,
-                                     jnp.uint8),
-            audio=jax.random.normal(ka, (b, samples), jnp.float32) * 0.1,
+            video=jnp.bitwise_xor(base_video, vbyte),
+            audio=base_audio * ascale,
             video_duration=jnp.full((b,), 2.3),
             audio_duration=jnp.full((b,), 2.3),
             video_frames=jnp.full((b,), frames, jnp.int32),
@@ -83,14 +105,25 @@ def main():
 
     import functools
 
+    @jax.jit
+    def make_base(seed):
+        kv, ka = jax.random.split(jax.random.PRNGKey(seed))
+        video = jax.random.randint(kv, (b, frames, 100, 180, 3), 0, 256,
+                                   jnp.uint8)
+        audio = jax.random.normal(ka, (b, samples), jnp.float32) * 0.1
+        return video, audio
+
     @functools.partial(jax.jit, static_argnames=("k",))
-    def run_k(vs, seed, k):
+    def run_k(vs, base_video, base_audio, seed, k):
         # vs is an argument (NOT a closure capture): closed-over params would
         # be inlined into the HLO as 500 MB of constants.
         keys = jax.random.split(jax.random.PRNGKey(seed), k)
         acc, _ = jax.lax.scan(
-            lambda c, key: (c + one_batch(vs, key), None), 0.0, keys)
+            lambda c, key: (c + one_batch(vs, base_video, base_audio, key),
+                            None), 0.0, keys)
         return acc
+
+    base_video, base_audio = make_base(0)
 
     @jax.jit
     def trivial(seed):
@@ -98,7 +131,8 @@ def main():
 
     def timed(seed, k):
         t0 = time.perf_counter()
-        v = float(np.asarray(run_k(variables, seed, k)))  # fetch forces completion
+        v = float(np.asarray(  # fetch forces completion
+            run_k(variables, base_video, base_audio, seed, k)))
         assert np.isfinite(v)
         return time.perf_counter() - t0
 
@@ -120,12 +154,133 @@ def main():
     pairs_per_s = batch_size / per_batch
     n_chips = max(len(jax.devices()), 1)
     value = pairs_per_s / n_chips
+
+    host_fed = None
+    if os.environ.get("BENCH_HOST_FED", "1") == "1":
+        try:
+            host_fed = host_fed_pairs_per_sec(model, variables, cfg,
+                                              frames, samples)
+        except Exception as e:  # never let the aux metric sink the headline
+            import traceback
+            traceback.print_exc()
+            print(f"host-fed bench failed: {e!r}")
+
     print(json.dumps({
         "metric": "clip_pairs_per_sec_per_chip_encode_score",
         "value": round(value, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / 5000.0, 4),
+        "host_fed_pairs_per_sec": (round(host_fed, 1)
+                                   if host_fed is not None else None),
     }))
+
+
+def _build_bench_pack(path: str, n_items: int, frames: int, samples: int):
+    """Materialize a pack of distinct synthetic 2.3 s clips (once, reused)."""
+    import numpy as np
+
+    from peppa_tpu.data.cache import write_pack
+    from peppa_tpu.data.types import Clip
+
+    rng = np.random.default_rng(42)
+
+    def clips():
+        for i in range(n_items):
+            yield Clip(
+                video=rng.integers(0, 256, (frames, 100, 180, 3), np.uint8),
+                audio=(rng.standard_normal(samples) * 0.1).astype(np.float32),
+                video_duration=2.3, audio_duration=2.3, index=i)
+
+    return write_pack(path, clips())
+
+
+def host_fed_pairs_per_sec(model, variables, cfg, frames: int, samples: int,
+                           *, probe: bool = False):
+    """Sustained pairs/s of pack -> native loader -> prefetch -> encode+score.
+
+    Every batch has a distinct item composition (fresh permutation per epoch)
+    so the relay's result cache (PERF.md "Measurement methodology" trap 3)
+    can never hit; each batch's scalar is fetched, which is the only
+    synchronization the tunnel honors (trap 1).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from peppa_tpu.native import NativeBatchLoader, NativePack, native_available
+    from peppa_tpu.ops.loss import triplet_loss
+    from peppa_tpu.ops.metrics import recall_at_n
+    from peppa_tpu.utils.prefetch import Prefetcher
+
+    if not native_available():
+        print("host-fed bench skipped: native loader unavailable")
+        return None
+
+    b = int(os.environ.get("BENCH_HOST_BATCH", "64"))
+    min_seconds = float(os.environ.get("BENCH_HOST_SECONDS", "30"))
+    n_items = int(os.environ.get("BENCH_HOST_ITEMS", "192"))
+    pack_path = os.environ.get(
+        "BENCH_PACK", f"/tmp/peppa_bench_pack_{frames}x{samples}.ppkc")
+    if not os.path.exists(pack_path):
+        _build_bench_pack(pack_path, n_items, frames, samples)
+
+    pack = NativePack(pack_path)
+    n_items = len(pack)
+    pad = (frames, 100, 180, 3, samples)
+    rng = np.random.default_rng(7)
+    max_epochs = 400  # plan bound; the timed loop breaks on min_seconds
+    plan = []
+    for _ in range(max_epochs):
+        order = rng.permutation(n_items)
+        for lo in range(0, n_items - b + 1, b):
+            plan.append((order[lo:lo + b].tolist(), pad))
+
+    @jax.jit
+    def encode_score(vs, batch):
+        out = model.apply(vs, batch, train=False)
+        loss = triplet_loss(out.video, out.audio, margin=cfg.margin)
+        rec = recall_at_n(out.video, out.audio, jnp.eye(batch.video.shape[0]),
+                          n=10)
+        return jnp.sum(out.video) + jnp.sum(out.audio) + loss + jnp.sum(rec)
+
+    n_threads = min(os.cpu_count() or 4, 8)
+    loader = NativeBatchLoader(pack, plan, n_threads=n_threads, depth=4)
+
+    if probe:  # host-side assembly rate alone, no device in the loop
+        t0 = time.perf_counter()
+        k = 0
+        for batch in loader:
+            k += 1
+            if time.perf_counter() - t0 >= min_seconds and k >= 4:
+                break
+        dt = time.perf_counter() - t0
+        loader.close()
+        pack.close()
+        print(f"native assembly only: {k * b / dt:.1f} pairs/s "
+              f"({k * b * (frames * 100 * 180 * 3 + samples * 4) / dt / 1e6:.0f} MB/s)")
+        return k * b / dt
+
+    device = jax.devices()[0]
+    prefetcher = Prefetcher(loader, lambda bt: jax.device_put(bt, device),
+                            depth=2)
+    try:
+        it = iter(prefetcher)
+        # warmup: compile + first transfer, uncounted
+        float(np.asarray(encode_score(variables, next(it))))
+        t0 = time.perf_counter()
+        pairs = 0
+        for sharded in it:
+            v = float(np.asarray(encode_score(variables, sharded)))
+            assert np.isfinite(v)
+            pairs += b
+            if time.perf_counter() - t0 >= min_seconds and pairs >= 4 * b:
+                break
+        elapsed = time.perf_counter() - t0
+    finally:
+        prefetcher.close()
+        loader.close()
+        pack.close()
+    return pairs / elapsed
 
 
 if __name__ == "__main__":

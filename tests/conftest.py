@@ -7,7 +7,12 @@ paths compile and execute exactly as they would across chips.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU
+# PEPPA_TEST_TPU=1 opts into the real chip for the hardware-gated tests
+# (tests/test_pallas_onchip.py); everything else is written for the virtual
+# CPU mesh and should run with the default forcing below.
+_USE_TPU = os.environ.get("PEPPA_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # the session env may point at a TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -29,7 +34,8 @@ os.environ["XLA_FLAGS"] = flags
 # the env var — override it back at the config level.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
