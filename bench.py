@@ -175,7 +175,8 @@ def main():
     }))
 
 
-def _build_bench_pack(path: str, n_items: int, frames: int, samples: int):
+def _build_bench_pack(path: str, n_items: int, frames: int, samples: int,
+                      audio_int16: bool = False):
     """Materialize a pack of distinct synthetic 2.3 s clips (once, reused)."""
     import numpy as np
 
@@ -191,7 +192,7 @@ def _build_bench_pack(path: str, n_items: int, frames: int, samples: int):
                 audio=(rng.standard_normal(samples) * 0.1).astype(np.float32),
                 video_duration=2.3, audio_duration=2.3, index=i)
 
-    return write_pack(path, clips())
+    return write_pack(path, clips(), audio_int16=audio_int16)
 
 
 def host_fed_pairs_per_sec(model, variables, cfg, frames: int, samples: int,
@@ -219,10 +220,15 @@ def host_fed_pairs_per_sec(model, variables, cfg, frames: int, samples: int,
     b = int(os.environ.get("BENCH_HOST_BATCH", "64"))
     min_seconds = float(os.environ.get("BENCH_HOST_SECONDS", "30"))
     n_items = int(os.environ.get("BENCH_HOST_ITEMS", "192"))
+    # BENCH_INT16_AUDIO=1: pack-format v2 (int16 audio shipped to device,
+    # -12% bytes/pair; tpu.pack_audio_int16 in production)
+    audio_i16 = os.environ.get("BENCH_INT16_AUDIO", "0") == "1"
     pack_path = os.environ.get(
-        "BENCH_PACK", f"/tmp/peppa_bench_pack_{frames}x{samples}.ppkc")
+        "BENCH_PACK", f"/tmp/peppa_bench_pack_{frames}x{samples}"
+        f"{'_i16' if audio_i16 else ''}.ppkc")
     if not os.path.exists(pack_path):
-        _build_bench_pack(pack_path, n_items, frames, samples)
+        _build_bench_pack(pack_path, n_items, frames, samples,
+                          audio_int16=audio_i16)
 
     pack = NativePack(pack_path)
     n_items = len(pack)

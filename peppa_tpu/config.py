@@ -127,6 +127,14 @@ class TPUConfig:
     # on a sharded batch either way)
     global_negative_loss: bool = True
     native_loader: bool = True  # C++ packed-cache batch loader where available
+    # Store/ship pack audio as int16 (pack format v2): bit-exact for
+    # 16-bit-origin media (the decode path scales int16/32768 — decode.py),
+    # halves audio bytes on disk and host->device; float-synthesized audio
+    # is quantized to the same grid (max abs error 1/65536).  The audio
+    # encoder converts on device (models/wav2vec2.py), like uint8 video.
+    # Off by default so existing f32 packs and bit-exactness tests of the
+    # float path are unaffected; flip for production ingestion of real media.
+    pack_audio_int16: bool = False
     prefetch: int = 2  # device prefetch depth
     # scheduler-preemption signals (SLURM --signal / TPU pool maintenance):
     # on receipt the Trainer saves checkpoints/preempted.ckpt at the next

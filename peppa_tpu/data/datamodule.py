@@ -199,12 +199,14 @@ class PigData:
             return None
         if not native_available():
             return None
-        pack_path = os.path.join(cache_dir, "items.pack")
+        audio_i16 = bool(getattr(cfg.tpu, "pack_audio_int16", False))
+        pack_path = os.path.join(cache_dir,
+                                 "items_i16.pack" if audio_i16 else "items.pack")
         if not os.path.exists(pack_path):
             from peppa_tpu.data.cache import pack_from_dataset
 
             logging.info("Materializing packed cache %s", pack_path)
-            pack_from_dataset(train, pack_path)
+            pack_from_dataset(train, pack_path, audio_int16=audio_i16)
         pack = NativePack(pack_path)
         plan = bucket_plan(
             pack.durations(), buckets=tuple(cfg.tpu.bucket_durations),

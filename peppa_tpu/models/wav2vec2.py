@@ -289,6 +289,12 @@ class Wav2Vec2Encoder(nn.Module):
 
         if waveform.ndim == 3:  # (B, 1, S) channel layout from collation
             waveform = waveform[:, 0, :]
+        if waveform.dtype == jnp.int16:
+            # native-loader v2 path: int16 ships to the device (2x less
+            # traffic); the /32768 wav scaling fuses here, mirroring the
+            # uint8-video path (video3d.py) and the 16-bit-wav -> float
+            # conversion the decode path applies (data/decode.py)
+            waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
         trunk_tap = "logits" if self.full else "conv"
         if tap in ("conv", "context", "logits"):
             trunk_tap = tap

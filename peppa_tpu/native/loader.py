@@ -31,6 +31,8 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.ppk_close.argtypes = [ctypes.c_void_p]
     lib.ppk_len.restype = ctypes.c_uint64
     lib.ppk_len.argtypes = [ctypes.c_void_p]
+    lib.ppk_version.restype = ctypes.c_uint32
+    lib.ppk_version.argtypes = [ctypes.c_void_p]
     lib.ppk_item_meta.restype = ctypes.c_int
     lib.ppk_item_meta.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                   ctypes.POINTER(ctypes.c_uint64),
@@ -65,6 +67,10 @@ class NativePack:
         if not self._handle:
             raise IOError(f"cannot open pack {path}")
         self.path = path
+        self.version = int(lib.ppk_version(self._handle))
+        # v2 packs ship int16 audio straight to the device (the audio
+        # encoder converts, models/wav2vec2.py); v1 ships f32
+        self.audio_dtype = np.int16 if self.version == 2 else np.float32
 
     def __len__(self) -> int:
         return int(self._lib.ppk_len(self._handle))
@@ -80,7 +86,7 @@ class NativePack:
     def item(self, i: int):
         (t, h, w, c), s, vd, ad = self.meta(i)
         video = np.empty((t, h, w, c), np.uint8)
-        audio = np.empty((s,), np.float32)
+        audio = np.empty((s,), self.audio_dtype)
         rc = self._lib.ppk_item_data(
             self._handle, i, video.ctypes.data_as(ctypes.c_void_p),
             audio.ctypes.data_as(ctypes.c_void_p))
@@ -136,7 +142,7 @@ class NativeBatchLoader:
         for idx_list, (pt, ph, pw, pc, ps) in self._plan:
             b = len(idx_list)
             video = np.empty((b, pt, ph, pw, pc), np.uint8)
-            audio = np.empty((b, ps), np.float32)
+            audio = np.empty((b, ps), self._pack.audio_dtype)
             vdur = np.empty((b,), np.float32)
             adur = np.empty((b,), np.float32)
             vframes = np.empty((b,), np.int32)

@@ -39,7 +39,14 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x434b5050;  // "PPKC" little-endian
-constexpr uint32_t kVersion = 1;
+// v1: audio payload f32.  v2: audio payload int16 (value = round(f * 32768),
+// the exact inverse of the 16-bit-wav -> float scaling the decode path uses,
+// so packing real media round-trips bit-exactly while halving audio bytes on
+// disk AND host->device).  The loader delivers audio in the pack's dtype;
+// the audio encoder converts on device (models/wav2vec2.py), like uint8
+// video.
+constexpr uint32_t kVersionF32 = 1;
+constexpr uint32_t kVersionI16 = 2;
 
 #pragma pack(push, 1)
 struct PackHeader {
@@ -64,6 +71,10 @@ struct Pack {
   size_t size = 0;
   const ItemEntry* index = nullptr;
   uint64_t n_items = 0;
+  uint32_t version = kVersionF32;
+  size_t audio_bps() const {  // bytes per audio sample in pack AND output
+    return version == kVersionI16 ? sizeof(int16_t) : sizeof(float);
+  }
 };
 
 struct BatchSpec {
@@ -73,7 +84,7 @@ struct BatchSpec {
 
 struct BatchBuf {
   std::vector<uint8_t> video;
-  std::vector<float> audio;
+  std::vector<uint8_t> audio;  // raw bytes: f32 (v1) or int16 (v2) samples
   std::vector<float> vdur, adur;
   std::vector<int32_t> vframes;
   std::vector<int64_t> asamples;
@@ -111,8 +122,9 @@ void assemble(const Pack& pack, const BatchSpec& spec, BatchBuf* out) {
   const size_t b = spec.items.size();
   const size_t frame = size_t(spec.pad_h) * spec.pad_w * spec.pad_c;
   const size_t vitem = size_t(spec.pad_t) * frame;
+  const size_t bps = pack.audio_bps();
   out->video.assign(b * vitem, 0);
-  out->audio.assign(b * size_t(spec.pad_s), 0.0f);
+  out->audio.assign(b * size_t(spec.pad_s) * bps, 0);
   out->vdur.resize(b);
   out->adur.resize(b);
   out->vframes.resize(b);
@@ -135,8 +147,8 @@ void assemble(const Pack& pack, const BatchSpec& spec, BatchBuf* out) {
                       std::min(src_row, dst_row));
     }
     const int64_t s = std::min<int64_t>(e.s, spec.pad_s);
-    std::memcpy(out->audio.data() + i * spec.pad_s,
-                pack.base + e.audio_off, size_t(s) * sizeof(float));
+    std::memcpy(out->audio.data() + i * spec.pad_s * bps,
+                pack.base + e.audio_off, size_t(s) * bps);
     out->vdur[i] = e.video_duration;
     out->adur[i] = e.audio_duration;
     out->vframes[i] = int32_t(t);
@@ -183,7 +195,8 @@ void* ppk_open(const char* path) {
     return nullptr;
   }
   auto* hdr = reinterpret_cast<const PackHeader*>(base);
-  if (hdr->magic != kMagic || hdr->version != kVersion) {
+  if (hdr->magic != kMagic ||
+      (hdr->version != kVersionF32 && hdr->version != kVersionI16)) {
     munmap(base, st.st_size);
     close(fd);
     return nullptr;
@@ -214,7 +227,8 @@ void* ppk_open(const char* path) {
       return nullptr;
     }
     const uint64_t vbytes = uint64_t(e.t) * e.h * e.w * e.c;
-    const uint64_t abytes = e.s * sizeof(float);
+    const uint64_t abytes =
+        e.s * (hdr->version == kVersionI16 ? sizeof(int16_t) : sizeof(float));
     if (e.video_off > size || vbytes > size - e.video_off ||
         e.audio_off > size || abytes > size - e.audio_off) {
       munmap(base, st.st_size);
@@ -228,7 +242,12 @@ void* ppk_open(const char* path) {
   p->size = size;
   p->n_items = n;
   p->index = index;
+  p->version = hdr->version;
   return p;
+}
+
+uint32_t ppk_version(void* handle) {
+  return static_cast<Pack*>(handle)->version;
 }
 
 void ppk_close(void* handle) {
@@ -256,14 +275,15 @@ int ppk_item_meta(void* handle, uint64_t idx, uint64_t* meta, float* durs) {
   return 0;
 }
 
-// Copy one item's payloads (video uint8 then audio f32) into caller buffers.
-int ppk_item_data(void* handle, uint64_t idx, uint8_t* video, float* audio) {
+// Copy one item's payloads into caller buffers: video uint8; audio in the
+// pack's sample dtype (f32 for v1, int16 for v2 — query ppk_version).
+int ppk_item_data(void* handle, uint64_t idx, uint8_t* video, void* audio) {
   auto* p = static_cast<Pack*>(handle);
   if (idx >= p->n_items) return -1;
   const ItemEntry& e = p->index[idx];
   std::memcpy(video, p->base + e.video_off,
               size_t(e.t) * e.h * e.w * e.c);
-  std::memcpy(audio, p->base + e.audio_off, size_t(e.s) * sizeof(float));
+  std::memcpy(audio, p->base + e.audio_off, size_t(e.s) * p->audio_bps());
   return 0;
 }
 
@@ -296,7 +316,7 @@ void* ppk_loader_new(void* pack_handle, const int64_t* batch_items,
 
 // Blocks until the next in-order batch is assembled, then copies it out.
 // Returns the batch index, or -1 when exhausted.
-int64_t ppk_loader_next(void* handle, uint8_t* video, float* audio,
+int64_t ppk_loader_next(void* handle, uint8_t* video, void* audio,
                         float* vdur, float* adur, int32_t* vframes,
                         int64_t* asamples) {
   auto* ld = static_cast<Loader*>(handle);
@@ -312,7 +332,7 @@ int64_t ppk_loader_next(void* handle, uint8_t* video, float* audio,
   ld->cv_space.notify_all();
   lk.unlock();
   std::memcpy(video, buf.video.data(), buf.video.size());
-  std::memcpy(audio, buf.audio.data(), buf.audio.size() * sizeof(float));
+  std::memcpy(audio, buf.audio.data(), buf.audio.size());  // raw bytes
   std::memcpy(vdur, buf.vdur.data(), buf.vdur.size() * sizeof(float));
   std::memcpy(adur, buf.adur.data(), buf.adur.size() * sizeof(float));
   std::memcpy(vframes, buf.vframes.data(), buf.vframes.size() * sizeof(int32_t));

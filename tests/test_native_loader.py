@@ -226,3 +226,86 @@ def test_native_loader_stress_many_batches(tmp_path, rng):
             assert batch.audio_samples[row] == s
     loader.close()
     pack.close()
+
+
+# ---------------------------------------------------------- pack v2 (int16)
+
+def test_pack_v2_int16_roundtrip(tmp_path, rng):
+    """v2 packs: int16 audio passes through exactly; float is grid-quantized."""
+    from peppa_tpu.data.cache import AUDIO_I16_SCALE
+
+    i16 = rng.integers(-32768, 32768, size=(1500,)).astype(np.int16)
+    f32 = (rng.normal(size=(900,)) * 0.1).astype(np.float32)
+    clips = [
+        Clip(video=rng.uniform(size=(4, 24, 32, 3)).astype(np.float32),
+             audio=i16, video_duration=0.4, audio_duration=1500 / 44100.0),
+        Clip(video=rng.uniform(size=(3, 24, 32, 3)).astype(np.float32),
+             audio=f32, video_duration=0.3, audio_duration=900 / 44100.0),
+    ]
+    path = str(tmp_path / "v2.pack")
+    write_pack(path, clips, audio_int16=True)
+    reader = PackReader(path)
+    assert reader.version == 2 and reader.audio_dtype == np.int16
+    # int16-origin media round-trips bit-exactly
+    np.testing.assert_array_equal(reader[0].audio, i16)
+    # float audio lands on the 1/32768 grid with correct rounding
+    want = np.clip(np.round(f32.astype(np.float64) * AUDIO_I16_SCALE),
+                   -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(reader[1].audio, want)
+    np.testing.assert_allclose(want.astype(np.float64) / AUDIO_I16_SCALE,
+                               f32, atol=0.5 / AUDIO_I16_SCALE + 1e-7)
+
+
+def test_native_loader_v2_int16_batches(tmp_path, rng):
+    """The C++ loader delivers int16 audio batches from v2 packs, zero-padded."""
+    from peppa_tpu.native import NativeBatchLoader, NativePack, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    clips = make_clips(rng, n=5)
+    path = str(tmp_path / "v2.pack")
+    write_pack(path, clips, audio_int16=True)
+    pack = NativePack(path)
+    assert pack.version == 2 and pack.audio_dtype == np.int16
+    reader = PackReader(path)
+    # per-item API
+    for i in range(len(clips)):
+        _, audio, _, _ = pack.item(i)
+        assert audio.dtype == np.int16
+        np.testing.assert_array_equal(audio, reader[i].audio)
+    # batch API: pad beyond the longest item, assert content + zero padding
+    pad_s = max(len(reader[i].audio) for i in range(len(clips))) + 17
+    pad = (9, 24, 32, 3, pad_s)
+    loader = NativeBatchLoader(pack, [([0, 1, 2], pad), ([3, 4], pad)],
+                               n_threads=2, depth=2)
+    batches = list(loader)
+    assert [b.video.shape[0] for b in batches] == [3, 2]
+    idx = 0
+    for batch in batches:
+        assert batch.audio.dtype == np.int16
+        for row in range(batch.audio.shape[0]):
+            want = reader[idx].audio
+            np.testing.assert_array_equal(batch.audio[row, :len(want)], want)
+            assert not batch.audio[row, len(want):].any()
+            assert batch.audio_samples[row] == len(want)
+            idx += 1
+    loader.close()
+    pack.close()
+
+
+def test_int16_audio_through_encoder(rng):
+    """int16 waveforms produce the same embeddings as float/32768 (device
+    conversion in Wav2Vec2Encoder, mirroring the uint8-video path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from peppa_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    enc = Wav2Vec2Encoder(cfg=Wav2Vec2Config(num_layers=1), pooling="average",
+                          project=False)
+    a_i16 = rng.integers(-2000, 2000, size=(2, 3200)).astype(np.int16)
+    a_f32 = a_i16.astype(np.float32) / 32768.0
+    vs = enc.init(jax.random.PRNGKey(0), jnp.asarray(a_f32))
+    out_i16 = enc.apply(vs, jnp.asarray(a_i16))
+    out_f32 = enc.apply(vs, jnp.asarray(a_f32))
+    np.testing.assert_array_equal(np.asarray(out_i16), np.asarray(out_f32))
