@@ -261,9 +261,10 @@ def host_fed_pairs_per_sec(model, variables, cfg, frames: int, samples: int,
                 break
         dt = time.perf_counter() - t0
         loader.close()
+        audio_bps = np.dtype(pack.audio_dtype).itemsize  # 4 (v1) or 2 (v2)
         pack.close()
         print(f"native assembly only: {k * b / dt:.1f} pairs/s "
-              f"({k * b * (frames * 100 * 180 * 3 + samples * 4) / dt / 1e6:.0f} MB/s)")
+              f"({k * b * (frames * 100 * 180 * 3 + samples * audio_bps) / dt / 1e6:.0f} MB/s)")
         return k * b / dt
 
     device = jax.devices()[0]

@@ -27,6 +27,9 @@ class AudioConfig:
     pooling: str = "attention"  # average | attention | last
     project: bool = True
     full: bool = True  # True: 12-layer transformer + 28-d head; False: conv features only
+    # transformer depth override (None = wav2vec2-base's 12); used by tests
+    # and scaling experiments — pretrained checkpoints require the full 12
+    num_layers: Optional[int] = None
 
 
 @dataclass

@@ -99,7 +99,9 @@ def mux_pcm_audio(video_avi: bytes, audio: np.ndarray, rate: int) -> bytes:
     (usec,) = struct.unpack("<I", avih[:4])
     n_video = len(frames)
     fps = 1e6 / usec if usec else 10.0
-    bytes_per_frame = int(round(rate * 2 / fps))
+    # whole int16 samples per frame (x2 bytes): an odd byte count would split
+    # a PCM16 sample across '01wb' chunks, desyncing block-aligned parsers
+    bytes_per_frame = int(round(rate / fps)) * 2
 
     avih2 = bytearray(avih)
     struct.pack_into("<I", avih2, 24, 2)  # dwStreams = 2

@@ -37,7 +37,8 @@ class PeppaPig(nn.Module):
     def setup(self):
         cfg = self.config
         dtype = _dtype_of(cfg.training.precision)
-        audio_cfg = Wav2Vec2Config()
+        audio_cfg = (Wav2Vec2Config(num_layers=cfg.audio.num_layers)
+                     if cfg.audio.num_layers is not None else Wav2Vec2Config())
         # jax.checkpoint (remat) trades recompute for activation HBM on the
         # backward pass; argnums 3+ of the encoders' __call__ are static
         # (deterministic/train flags, tap names).

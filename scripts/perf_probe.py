@@ -528,12 +528,16 @@ def chained_time(step_fn, x0, n_rep=5, min_signal_s=1.0):
 
     # every call gets a globally unique input perturbation: reusing ANY
     # previous input value lets the relay serve a cached result (measured as
-    # instant returns -> negative slopes)
+    # instant returns -> negative slopes).  The scale steps in units of
+    # 2^-7 — exactly representable in bf16 (7 mantissa bits), so the
+    # perturbed product differs from x0 in bf16 as well as f32; a 1e-6
+    # nudge would round to exactly 1.0 * x0 in bf16 and defeat nothing.
     counter = [0]
 
     def timed(iters):
         counter[0] += 1
-        x = x0 * (1 + 1e-6 * counter[0])
+        x = (x0 * np.float32(1.0 + ((counter[0] % 96) + 1) * 2.0 ** -7)
+             ).astype(x0.dtype)
         t0 = time.perf_counter()
         v = float(np.asarray(chain(x, iters)))
         assert np.isfinite(v), f"chain diverged: {v}"

@@ -16,7 +16,6 @@ import socket
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 pytestmark = pytest.mark.slow  # two parallel full jit compiles (~minutes)
@@ -65,54 +64,29 @@ def test_two_process_training_step(tmp_path):
     assert "last.ckpt" in ckpts, ckpts
 
     # the 2-process global-negative loss equals a single-process run of the
-    # SAME global batch (the conftest environment: 8 virtual devices, 1 proc)
+    # SAME global batch (the conftest environment: 8 virtual devices, 1 proc).
+    # Config/model/state/batch come from the SAME builders the workers use
+    # (tests/distributed_worker.py) — the equality below is only meaningful
+    # while both computations are constructed identically.
     import jax
-    import peppa_tpu.models.wav2vec2 as w2v
 
-    orig_layers = w2v.Wav2Vec2Config.num_layers
-    w2v.Wav2Vec2Config.num_layers = 2
-    try:
-        from peppa_tpu.config import default_config
-        from peppa_tpu.data.types import ClipBatch
-        from peppa_tpu.models.dual_encoder import init_model
-        from peppa_tpu.parallel.mesh import (make_mesh, shard_batch,
-                                             state_shardings)
-        from peppa_tpu.training.optimization import make_optimizer
-        from peppa_tpu.training.state import TrainState
-        from peppa_tpu.training.step import make_train_step
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    import distributed_worker as dw
 
-        cfg = default_config()
-        cfg.data.target_size = (32, 32)
-        cfg.training.precision = "fp32"
-        cfg.training.accumulate_grad_batches = 1
-        frames, samples = 4, 3200
-        model, variables = init_model(cfg, jax.random.PRNGKey(0),
-                                      audio_samples=samples,
-                                      video_frames=frames)
-        tx = make_optimizer(cfg.optimizer, accumulate_grad_batches=1,
-                            params=variables["params"])
-        state = TrainState.create(variables, tx)
-        mesh = make_mesh((1, 1), ("data", "model"))
-        with mesh:
-            state = jax.tree.map(lambda x, s: jax.device_put(x, s), state,
-                                 state_shardings(state, mesh))
-            b_global = 8
-            rng = np.random.default_rng(0)
-            batch = ClipBatch(
-                video=rng.uniform(size=(b_global, frames, 32, 32, 3))
-                .astype(np.float32),
-                audio=(rng.standard_normal((b_global, samples)) * 0.1)
-                .astype(np.float32),
-                video_duration=np.full((b_global,), 0.4, np.float32),
-                audio_duration=np.full((b_global,), 0.4, np.float32),
-                video_frames=np.full((b_global,), frames, np.int32),
-                audio_samples=np.full((b_global,), samples, np.int32))
-            batch = shard_batch(batch, mesh)
-            step = make_train_step(model, cfg.margin, donate=False, mesh=mesh)
-            _, metrics = step(state, batch, jax.random.PRNGKey(1))
-            ref_loss = float(metrics["train_loss"])
-    finally:
-        w2v.Wav2Vec2Config.num_layers = orig_layers
+    from peppa_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                         state_shardings)
+    from peppa_tpu.training.step import make_train_step
+
+    cfg = dw.tiny_config()
+    model, state = dw.build_model_state(cfg)
+    mesh = make_mesh((1, 1), ("data", "model"))
+    with mesh:
+        state = jax.tree.map(lambda x, s: jax.device_put(x, s), state,
+                             state_shardings(state, mesh))
+        batch = shard_batch(dw.global_batch(), mesh)
+        step = make_train_step(model, cfg.margin, donate=False, mesh=mesh)
+        _, metrics = step(state, batch, jax.random.PRNGKey(1))
+        ref_loss = float(metrics["train_loss"])
     # loss is robust to layout/loss-path noise (unlike grads, see
     # __graft_entry__ docstring on conditioning)
     assert abs(results[0]["loss"] - ref_loss) < 1e-4, (results[0]["loss"],
