@@ -502,6 +502,26 @@ def probe_peak_chained():
                   flush=True)
 
 
+# Every timed() call across the WHOLE process gets a globally unique input
+# perturbation: reusing ANY previous input value lets the relay serve a
+# cached result (measured as instant returns -> negative slopes).  The
+# mantissa steps are units of 2^-7 — exactly representable in bf16 (7
+# mantissa bits), so the perturbed product differs from x0 in bf16 as well
+# as f32; a 1e-6 nudge would round to exactly 1.0 * x0 in bf16 and defeat
+# nothing.  Once the 96 mantissa steps are exhausted the exponent varies
+# too (also bf16-exact), giving 96*13 unique scales; the assert fires
+# before any scale could repeat.
+_SCALE_COUNTER = [0]
+
+
+def _unique_scale() -> np.float32:
+    _SCALE_COUNTER[0] += 1
+    c = _SCALE_COUNTER[0]
+    assert c < 96 * 13, "unique-scale space exhausted; widen the exponent range"
+    mant = 1.0 + ((c % 96) + 1) * 2.0 ** -7
+    return np.float32(mant * 2.0 ** ((c // 96 + 6) % 13 - 6))
+
+
 def chained_time(step_fn, x0, n_rep=5, min_signal_s=1.0):
     """Time a shape-preserving step via the data-dependent chain method.
 
@@ -526,18 +546,9 @@ def chained_time(step_fn, x0, n_rep=5, min_signal_s=1.0):
         xk = jax.lax.fori_loop(0, iters, body, x)
         return jnp.sum(xk.astype(jnp.float32))
 
-    # every call gets a globally unique input perturbation: reusing ANY
-    # previous input value lets the relay serve a cached result (measured as
-    # instant returns -> negative slopes).  The scale steps in units of
-    # 2^-7 — exactly representable in bf16 (7 mantissa bits), so the
-    # perturbed product differs from x0 in bf16 as well as f32; a 1e-6
-    # nudge would round to exactly 1.0 * x0 in bf16 and defeat nothing.
-    counter = [0]
-
     def timed(iters):
-        counter[0] += 1
-        x = (x0 * np.float32(1.0 + ((counter[0] % 96) + 1) * 2.0 ** -7)
-             ).astype(x0.dtype)
+        x = x0 * _unique_scale()
+        x = x.astype(x0.dtype)
         t0 = time.perf_counter()
         v = float(np.asarray(chain(x, iters)))
         assert np.isfinite(v), f"chain diverged: {v}"

@@ -174,11 +174,15 @@ def test_generate_end_to_end_via_spacy_path(monkeypatch, tmp_path):
         make_realign(realign, "narration", ep, 1, 1,
                      ["george", "loves", "the", "little", "ball"])
 
-    # fallback-tagger run first (no fake spacy installed yet)
+    # fallback-tagger baseline, pinned EXPLICITLY: in an environment where
+    # real spaCy is installed, an implicit default would silently make this
+    # a real-spaCy-vs-fake-spaCy comparison instead of the intended
+    # fallback-vs-fake one
     out_fb = tmp_path / "eval_fallback"
     esg.generate(realign_dir=str(realign), eval_dir=str(out_fb),
                  min_occurrences=4, min_phrase_duration=0.3,
-                 pos_tags=["NOUN", "ADJ", "VERB"])
+                 pos_tags=["NOUN", "ADJ", "VERB"],
+                 tagger=esg.fallback_tagger)
 
     _install_fake_spacy(monkeypatch)
     assert esg.spacy_tagger() is not None  # the primary path IS active
