@@ -48,13 +48,27 @@ class PeppaPig(nn.Module):
                        if cfg.tpu.remat_video else R3DEncoder)
         image_cls = (nn.remat(ImageEncoder, static_argnums=(3, 4))
                      if cfg.tpu.remat_video else ImageEncoder)
+        # Pallas-under-TP guard: when the configured mesh shards the 'model'
+        # axis, the q/k/v head dimension arrives sharded at the attention
+        # kernel.  GSPMD partitions the custom call by replicate-and-gather —
+        # CORRECT (proven by tests/test_pallas_kernels.py::test_mha_under_
+        # model_sharded_mesh) but it all-gathers every head to every model
+        # shard, defeating both TP and the kernel's no-HBM-round-trip point.
+        # The XLA einsum path partitions natively over heads, so prefer it.
+        tp_active = False
+        if cfg.tpu.mesh_shape is not None:
+            axes = list(cfg.tpu.mesh_axes)
+            if "model" in axes:
+                i = axes.index("model")
+                shape = list(cfg.tpu.mesh_shape)
+                tp_active = i < len(shape) and int(shape[i]) > 1
         self.audio_encoder = audio_cls(
             full=cfg.audio.full,
             pooling=cfg.audio.pooling,
             project=cfg.audio.project,
             cfg=audio_cfg,
             dtype=dtype,
-            use_pallas=cfg.tpu.use_pallas,
+            use_pallas=cfg.tpu.use_pallas and not tp_active,
             quant=cfg.tpu.quantize_int8,
             name="audio_encoder",
         )
