@@ -21,7 +21,7 @@ from __future__ import annotations
 import logging
 import os
 from collections import Counter
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -126,17 +126,24 @@ def corpus_glove_path(data_dir: str = "data", dim: int = 100) -> str:
 
 
 def ensure_corpus_glove(data_dir: str = "data", dim: int = 100,
-                        **kw) -> str:
-    """Train (once) and cache corpus GloVe vectors in data/in/glove/."""
+                        transcripts_dir: Optional[str] = None, **kw) -> str:
+    """Train (once) and cache corpus GloVe vectors in data/in/glove/.
+
+    `transcripts_dir` overrides where the realign transcripts are read from
+    (default: data_dir) — the vectors are still cached under data_dir, which
+    may be writable when the transcripts tree (e.g. the read-only reference
+    checkout) is not.
+    """
     from peppa_tpu.analysis.embeddings import corpus_sentences
 
+    src = transcripts_dir or data_dir
     path = corpus_glove_path(data_dir, dim)
     if os.path.exists(path):
         return path
-    sentences = corpus_sentences(data_dir)
+    sentences = corpus_sentences(src)
     if not sentences:
         raise FileNotFoundError(
-            f"no realigned transcripts under {data_dir}/out/realign")
+            f"no realigned transcripts under {src}/out/realign")
     vectors = train_glove(sentences, dim=dim, **kw)
     save_glove_txt(path, vectors)
     return path

@@ -1,0 +1,68 @@
+"""Produce the committed torch-vs-peppa_tpu end-to-end parity table.
+
+Runs the full twin battery (tests/torch_twin.py::run_twin_battery) at table
+scale — 100+ clips per segmentation so the recall bootstrap uses the
+reference's size=100 subsets (pig/metrics.py:67-77), 500 bootstrap rounds —
+and writes results/torch_twin_parity.csv.
+
+Usage:  python scripts/torch_twin_parity.py  [--episodes 17] [--n-samples 500]
+
+This is CPU-only work (the torch twin has no TPU path); force the CPU
+backend so the tunneled chip is never in the loop.
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=17,
+                    help="narration episodes (17 -> 102 fixed-seg clips)")
+    ap.add_argument("--clips-per-episode", type=int, default=2)
+    ap.add_argument("--n-samples", type=int, default=500)
+    ap.add_argument("--num-layers", type=int, default=2)
+    ap.add_argument("--out", default="results/torch_twin_parity.csv")
+    ap.add_argument("--work-dir", default="/tmp/torch_twin_parity")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    from tests.torch_twin import run_twin_battery
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    rows = run_twin_battery(
+        args.work_dir, episodes=args.episodes,
+        clips_per_episode=args.clips_per_episode,
+        num_layers=args.num_layers, n_samples=args.n_samples)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["metric", "torch", "peppa_tpu",
+                                          "abs_diff"])
+        w.writeheader()
+        for r in rows:
+            w.writerow({k: (f"{v:.6f}" if isinstance(v, float) else v)
+                        for k, v in r.items()})
+
+    worst = 0.0
+    for r in rows:
+        print(f"{r['metric']:45s} torch={r['torch']:.4f} "
+              f"peppa={r['peppa_tpu']:.4f} |d|={r['abs_diff']:.6f}")
+        if not r["metric"].endswith("_max_abs_diff"):
+            worst = max(worst, r["abs_diff"])
+    print(f"\nworst headline |d| = {worst:.6f} (north-star tolerance 0.01)")
+    print(f"table written to {args.out}")
+    return 0 if worst <= 0.01 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,11 +24,8 @@ from peppa_tpu.config import Config
 from peppa_tpu.models.convert import (convert_peppa_state_dict,
                                       export_peppa_state_dict,
                                       save_reference_checkpoint)
-from tests.test_checkpoint_import import (W2V_CONV_LAYERS, TorchPeppaPig,
-                                          randomize, ref_hparams)
-
-KINETICS_MEAN = (0.43216, 0.394666, 0.37645)
-KINETICS_STD = (0.22803, 0.22145, 0.216989)
+from tests.torch_twin import (KINETICS_MEAN, KINETICS_STD, W2V_CONV_LAYERS,
+                              TorchPeppaPig, randomize, ref_hparams)
 
 # keys the importer deliberately drops and the exporter zero-fills: the
 # torchvision classifier head the reference never runs (pig/models.py:141-150)
