@@ -706,6 +706,236 @@ def probe_layer_parts():
     print(f"gelu (B,T,3072): {per*1000:.3f} ms", flush=True)
 
 
+def probe_tails():
+    """The unaccounted tail between the summed part probes (~86 ms at B=32)
+    and the whole-model step (~98 ms): input normalization, feature
+    projection, aux head, poolers, output projections, L2 norms, scoring.
+
+    Each piece is measured with the slope method; the per-iteration RNG that
+    generates its input is measured separately (rng-only baseline, identical
+    shapes) and subtracted, so the printed number is the piece alone.
+    Run at B=32 (matches the part probes) and B=256 (the bench batch).
+    """
+    import flax.linen as nn
+
+    from peppa_tpu.models.layers import AttentionPool, VideoAttentionPool
+    from peppa_tpu.ops.loss import triplet_loss
+    from peppa_tpu.ops.metrics import recall_at_n
+    from peppa_tpu.ops.similarity import l2_normalize
+
+    T, D = 316, 768
+    dt16 = jnp.bfloat16
+
+    def part(name, b, shapes_dtypes, apply, init_input=None, module=None):
+        """Measure apply(params, *inputs) minus the rng cost of its inputs."""
+        params = ()
+        if module is not None:
+            params = jax.jit(module.init)(jax.random.PRNGKey(0), *init_input)
+
+        def gen(key):
+            xs = []
+            for i, (s, dt, kind) in enumerate(shapes_dtypes):
+                k = jax.random.fold_in(key, i)
+                if kind == "u8":
+                    xs.append(jax.random.randint(k, s, 0, 256, jnp.uint8))
+                else:
+                    xs.append(jax.random.normal(k, s, jnp.float32)
+                              .astype(dt) * jnp.asarray(0.1, dt))
+            return xs
+
+        def fn(p, key):
+            return jnp.sum(apply(p, *gen(key)).astype(jnp.float32))
+
+        def rng_only(p, key):
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in gen(key))
+
+        t_all = slope_time(fn, params, n_rep=3)
+        t_rng = slope_time(rng_only, (), n_rep=3)
+        net = (t_all - t_rng) * 1000
+        print(f"B={b:<4} {name}: {net:.3f} ms (raw {t_all*1000:.3f}, "
+              f"rng {t_rng*1000:.3f})", flush=True)
+        return net
+
+    for b in (32, 256):
+        total = 0.0
+        # 1. video input normalization: uint8 -> f32/255 -> channel norm -> bf16
+        mean = jnp.asarray((0.43216, 0.394666, 0.37645), jnp.float32)
+        std = jnp.asarray((0.22803, 0.22145, 0.216989), jnp.float32)
+        total += part(
+            "video_input_norm", b,
+            [((b, 23, 100, 180, 3), jnp.uint8, "u8")],
+            lambda p, v: ((v.astype(jnp.float32) / 255.0 - mean) / std
+                          ).astype(dt16))
+        # 2. feature projection: LayerNorm(512) f32 + Dense(512->768)
+        class FeatProj(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                 name="ln")(x)
+                return nn.Dense(D, dtype=dt16, name="proj")(x)
+        fp = FeatProj()
+        total += part("feature_projection", b, [((b, T, 512), dt16, "n")],
+                      lambda p, x: fp.apply(p, x),
+                      init_input=(jnp.zeros((1, T, 512), dt16),), module=fp)
+        # 3. encoder_ln: LayerNorm(768) f32 on (B,T,768)
+        class EncLN(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                    name="ln")(x)
+        eln = EncLN()
+        total += part("encoder_ln", b, [((b, T, D), dt16, "n")],
+                      lambda p, x: eln.apply(p, x),
+                      init_input=(jnp.zeros((1, T, D), dt16),), module=eln)
+        # 4. aux head Dense(768->28)
+        class Aux(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(28, dtype=dt16, name="aux")(x)
+        aux = Aux()
+        total += part("aux_head", b, [((b, T, D), dt16, "n")],
+                      lambda p, x: aux.apply(p, x),
+                      init_input=(jnp.zeros((1, T, D), dt16),), module=aux)
+        # 5. audio attention pool on the 28-d logits
+        ap = AttentionPool(128)
+        total += part("audio_attn_pool(28d)", b, [((b, T, 28), dt16, "n")],
+                      lambda p, x: ap.apply(p, x),
+                      init_input=(jnp.zeros((1, T, 28), dt16),), module=ap)
+        # 6. audio project Dense(28->512) + l2norm
+        class AProj(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = nn.Dense(512, dtype=dt16, name="project")(x)
+                return l2_normalize(y.astype(jnp.float32), axis=1)
+        apj = AProj()
+        total += part("audio_project+l2", b, [((b, 28), dt16, "n")],
+                      lambda p, x: apj.apply(p, x),
+                      init_input=(jnp.zeros((1, 28), dt16),), module=apj)
+        # 7. video pool: spatial mean + temporal attention on trunk output
+        vp = VideoAttentionPool(128)
+        total += part("video_attn_pool", b, [((b, 3, 7, 12, 512), dt16, "n")],
+                      lambda p, x: vp.apply(p, x),
+                      init_input=(jnp.zeros((1, 3, 7, 12, 512), dt16),),
+                      module=vp)
+        # 8. video project Dense(512->512) + l2norm
+        class VProj(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = nn.Dense(512, dtype=dt16, name="project")(x)
+                return l2_normalize(y.astype(jnp.float32), axis=1)
+        vpj = VProj()
+        total += part("video_project+l2", b, [((b, 512), dt16, "n")],
+                      lambda p, x: vpj.apply(p, x),
+                      init_input=(jnp.zeros((1, 512), dt16),), module=vpj)
+        # 9. scoring: triplet loss + recall@10 on the embeddings
+        eye = jnp.eye(b)
+        total += part(
+            "score(loss+recall)", b,
+            [((b, 512), jnp.float32, "n"), ((b, 512), jnp.float32, "n")],
+            lambda p, v, a: (triplet_loss(v, a, margin=0.2)
+                             + jnp.sum(recall_at_n(v, a, eye, n=10))
+                             ).reshape(1))
+        print(f"B={b:<4} TOTAL tails: {total:.2f} ms", flush=True)
+
+
+def probe_train_macro():
+    """Macro-batch study (VERDICT r3 #4): the recipe's effective batch is 64
+    (hparams_base.yaml batch_size=8 x accumulate_grad_batches=8).  Measure
+    the real train step (fwd+bwd+BertAdam, dropout on, global-negative loss)
+    per EFFECTIVE 64-clip optimizer step for:
+
+      - fused B=64, accumulate=1
+      - 2 x B=32, accumulate=2 (MultiSteps)
+      - 8 x B=8,  accumulate=8 (MultiSteps, the reference recipe)
+      - fused B=64 with remat towers (only relevant if plain B=64 OOMs)
+
+    All four are recipe-equivalent (use_grad_mean=True averages micro-grads);
+    the winner becomes the production default.
+    """
+    from peppa_tpu.config import default_config
+    from peppa_tpu.data.types import ClipBatch
+    from peppa_tpu.models.dual_encoder import init_model
+    from peppa_tpu.training.optimization import make_optimizer
+    from peppa_tpu.training.state import TrainState
+    from peppa_tpu.training.step import make_train_step
+
+    frames, samples = 23, 101430
+
+    def measure(label, b, acc, remat):
+        cfg = default_config()
+        cfg.training.precision = "bf16"
+        cfg.video.midplanes_multiple = 128
+        cfg.optimizer.accumulate_grad_batches = acc
+        if remat:
+            cfg.tpu.remat_audio = cfg.tpu.remat_video = True
+        model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                      audio_samples=samples,
+                                      video_frames=frames)
+        tx = make_optimizer(cfg.optimizer, accumulate_grad_batches=acc)
+        state = TrainState.create(variables, tx)
+        train_step = make_train_step(model, cfg.margin)
+
+        def make_batch(key):
+            kv, ka = jax.random.split(key)
+            video = jax.random.randint(kv, (b, frames, 100, 180, 3), 0, 256,
+                                       jnp.uint8)
+            audio = jax.random.normal(ka, (b, samples), jnp.float32) * 0.1
+            return ClipBatch(
+                video=video, audio=audio,
+                video_duration=jnp.full((b,), 2.3),
+                audio_duration=jnp.full((b,), 2.3),
+                video_frames=jnp.full((b,), frames, jnp.int32),
+                audio_samples=jnp.full((b,), samples, jnp.int32))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_k(st, seed, k):
+            keys = jax.random.split(jax.random.PRNGKey(seed), k)
+
+            def body(st, key):
+                st2, metrics = train_step(st, make_batch(key), key)
+                return st2, metrics["train_loss"]
+
+            st, losses = jax.lax.scan(body, st, keys)
+            return jnp.sum(losses)
+
+        @jax.jit
+        def trivial(seed):
+            return jnp.sum(jax.random.normal(jax.random.PRNGKey(seed), (8, 8)))
+
+        def timed(seed, k):
+            t0 = time.perf_counter()
+            v = float(np.asarray(run_k(state, seed, k)))
+            assert np.isfinite(v)
+            return time.perf_counter() - t0
+
+        def timed_trivial(seed):
+            t0 = time.perf_counter()
+            float(np.asarray(trivial(seed)))
+            return time.perf_counter() - t0
+
+        k = max(K // max(acc // 2, 1), 2)  # keep wall time comparable
+        try:
+            timed_trivial(0)
+            timed(0, k)
+        except Exception as e:
+            print(f"{label}: FAILED ({type(e).__name__}: {str(e)[:160]})",
+                  flush=True)
+            return None
+        overhead = min(timed_trivial(i) for i in range(1, 6))
+        per_micro = min(max(timed(1 + r, k) - overhead, 1e-9) / k
+                        for r in range(2))
+        per_eff = per_micro * acc
+        print(f"{label}: {per_micro*1000:.1f} ms/micro-step x {acc} = "
+              f"{per_eff*1000:.1f} ms per effective-64 step "
+              f"({64.0/per_eff:.1f} clips/s)", flush=True)
+        return per_eff
+
+    measure("fused B=64 acc=1", 64, 1, False)
+    measure("2 x B=32 acc=2", 32, 2, False)
+    measure("8 x B=8  acc=8 (reference recipe)", 8, 8, False)
+    measure("fused B=64 acc=1 remat", 64, 1, True)
+
+
 def probe_rng_cost():
     """Direct cost of the per-iteration RNG that probe_peak folds into its
     GEMM timings: generate the same operand volumes, no matmul."""
@@ -767,5 +997,9 @@ if __name__ == "__main__":
         probe_peak_chained()
     elif what == "rng_cost":
         probe_rng_cost()
+    elif what == "tails":
+        probe_tails()
+    elif what == "train_macro":
+        probe_train_macro()
     elif what == "layer_parts":
         probe_layer_parts()
