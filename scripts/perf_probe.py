@@ -930,10 +930,18 @@ def probe_train_macro():
               f"({64.0/per_eff:.1f} clips/s)", flush=True)
         return per_eff
 
-    measure("fused B=64 acc=1", 64, 1, False)
-    measure("2 x B=32 acc=2", 32, 2, False)
-    measure("8 x B=8  acc=8 (reference recipe)", 8, 8, False)
-    measure("fused B=64 acc=1 remat", 64, 1, True)
+    variants = {
+        "fused64": ("fused B=64 acc=1", 64, 1, False),
+        "b32": ("2 x B=32 acc=2", 32, 2, False),
+        "b16": ("4 x B=16 acc=4", 16, 4, False),
+        "b8": ("8 x B=8  acc=8 (reference recipe)", 8, 8, False),
+        "remat64": ("fused B=64 acc=1 remat", 64, 1, True),
+    }
+    only = os.environ.get("TRAIN_MACRO_ONLY")
+    for key, args in variants.items():
+        if only and key not in only.split(","):
+            continue
+        measure(*args)
 
 
 def probe_rng_cost():
