@@ -288,6 +288,12 @@ def host_fed_pairs_per_sec(model, variables, cfg, frames: int, samples: int,
     cold_ok = cold_cache and _drop_file_cache(pack_path)
 
     pack = NativePack(pack_path)
+    if audio_i16 != (np.dtype(pack.audio_dtype) == np.int16):
+        # an explicit BENCH_PACK can point every variant at one file; say so
+        # rather than report a mislabeled number
+        print(f"host-fed bench: pack {pack_path} audio dtype is "
+              f"{np.dtype(pack.audio_dtype).name}; variant labeled "
+              f"{'int16' if audio_i16 else 'f32'} measures THIS pack")
     n_items = len(pack)
     pad = (frames, 100, 180, 3, samples)
     rng = np.random.default_rng(7)
