@@ -10,10 +10,13 @@ OPTIMIZER steps, then evaluates recall@1/@10 + val loss on one held-out
 64-pair batch — per seed, so the verdict is "the winner learns at least as
 well", with seed noise visible.
 
-Data: video and audio are deterministic random projections of a shared
-16-d latent plus per-modality noise (all generated on device inside the
-jitted step — nothing crosses the tunnel but the final scalars), so the
-dual encoder must learn the cross-modal correspondence the loss rewards.
+Data: the on-device twin of data/synthetic.py's correlated generator — a
+shared latent class drives a colored-gradient video pattern and a sine at
+the class frequency (all generated inside the jitted step; nothing crosses
+the tunnel but scalars), so the dual encoder must learn the cross-modal
+correspondence the loss rewards.  With 8 classes over 64 eval pairs,
+recall@1 is tie-limited (~1/8 ceiling); recall@10 is the informative
+metric.
 
 Usage: python scripts/recipe_ab.py [--steps 100] [--seeds 2]
 """
@@ -44,7 +47,6 @@ from peppa_tpu.training.state import TrainState
 
 FRAMES, SAMPLES = 23, 101430
 H, W = 100, 180
-LATENT = 16
 
 
 def main():
@@ -57,24 +59,39 @@ def main():
     cfg = default_config()
     cfg.training.precision = "bf16"
     cfg.video.midplanes_multiple = 128
-    cfg.optimizer.t_total = args.steps  # full warmup+decay inside the run
+    # keep the REAL recipe schedule (t_total=15000, warmup 0.1): at a few
+    # hundred steps the LR is still in early warmup (~1e-6-1e-5), which is
+    # where this model actually learns.  Compressing t_total to the run
+    # length ramps the LR to 1e-4 within ~40 steps and the embeddings
+    # collapse to a point (loss pins at 2*margin*(1-1/B) — observed
+    # exactly; the soak notes record the same collapse at early 1e-4).
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   audio_samples=SAMPLES, video_frames=FRAMES)
 
-    # fixed generator: shared-latent projections (drawn once, fp32)
-    kg = jax.random.PRNGKey(1234)
-    kv, ka = jax.random.split(kg)
-    w_video = jax.random.normal(kv, (LATENT, H * W * 3), jnp.float32) * 0.6
-    w_audio = jax.random.normal(ka, (LATENT, SAMPLES), jnp.float32) * 0.6
+    # on-device twin of data/synthetic.py's correlated generator: a latent
+    # CLASS drives both modalities (video = class-colored gradient pattern,
+    # audio = sine at the class frequency) — spatially/temporally structured
+    # signal a conv stem can actually pick up, unlike a per-pixel random
+    # projection (the first draft of this script; both recipes sat at exact
+    # chance because the pattern was white noise the pooling averaged away).
+    n_classes = 8
+    sample_rate = 44100.0
 
     def make_batch(key, b):
-        kz, kn_v, kn_a = jax.random.split(key, 3)
-        z = jax.random.normal(kz, (b, LATENT), jnp.float32)
-        frame = jax.nn.sigmoid(z @ w_video).reshape(b, 1, H, W, 3)
+        kk, kph, kn_v, kn_a = jax.random.split(key, 4)
+        k = jax.random.randint(kk, (b,), 0, n_classes).astype(jnp.float32)
+        phases = jnp.asarray([0.0, 1 / 3, 2 / 3], jnp.float32)
+        hue = jnp.sin(2 * jnp.pi * (k[:, None] / n_classes + phases))  # (b,3)
+        grad = jnp.linspace(0.0, 1.0, W)[None, None, :, None]  # (1,1,W,1)
+        parity = jnp.mod(k, 2.0)[:, None, None, None]
+        base = 0.5 + 0.25 * hue[:, None, None, :] * (0.5 + parity * grad)
         video = jnp.clip(
-            jnp.repeat(frame, FRAMES, axis=1)
-            + 0.15 * jax.random.normal(kn_v, (b, FRAMES, H, W, 3)), 0.0, 1.0)
-        audio = ((z @ w_audio) * 0.05
+            base[:, None]  # (b,1,H,W,3) broadcast over frames
+            + 0.08 * jax.random.normal(kn_v, (b, FRAMES, H, W, 3)), 0.0, 1.0)
+        freq = 80.0 * 2.0 ** (k / 2.0)  # (b,)
+        tt = jnp.arange(SAMPLES, dtype=jnp.float32) / sample_rate
+        phase = jax.random.uniform(kph, (b, 1), jnp.float32, 0, 2 * jnp.pi)
+        audio = (0.1 * jnp.sin(2 * jnp.pi * freq[:, None] * tt[None] + phase)
                  + 0.01 * jax.random.normal(kn_a, (b, SAMPLES)))
         return ClipBatch(
             video=video, audio=audio,
@@ -85,7 +102,11 @@ def main():
 
     def train_arm(micro_b, accum, seed):
         tx = make_optimizer(cfg.optimizer, accumulate_grad_batches=accum)
-        state = TrainState.create(variables, tx)
+        # fresh buffers per arm/seed: run_k donates the state, and the state's
+        # params alias `variables` — donating the shared copy would delete it
+        # out from under the next arm
+        fresh = jax.tree.map(jnp.array, variables)
+        state = TrainState.create(fresh, tx)
 
         def one_micro(state, key):
             kb, kd = jax.random.split(key)
