@@ -182,7 +182,9 @@ def main():
     # this model — several times the chip's measured ceiling.
     tflop_per_pair = 6.0 / 32.0
     chip_peak_tf = 185.0
-    pct_of_chip_peak = value * tflop_per_pair / chip_peak_tf
+    # a PERCENT (39.6 = 39.6% of peak), as the field name says — a fraction
+    # here would read as 0.4% to anyone taking the name literally
+    pct_of_chip_peak = 100.0 * value * tflop_per_pair / chip_peak_tf
 
     f32_stats = host_fed.get("f32")
     print(json.dumps({
@@ -190,7 +192,7 @@ def main():
         "value": round(value, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / 5000.0, 4),
-        "pct_of_chip_peak": round(pct_of_chip_peak, 4),
+        "pct_of_chip_peak": round(pct_of_chip_peak, 2),
         "chip_peak_tflops_band": [172, 208],
         "model_tflop_per_pair": round(tflop_per_pair, 4),
         "host_fed_pairs_per_sec": (f32_stats and f32_stats.get("median")),
@@ -221,13 +223,16 @@ def _build_bench_pack(path: str, n_items: int, frames: int, samples: int,
 def _drop_file_cache(path: str) -> bool:
     """Evict `path` from the page cache (posix_fadvise DONTNEED).
 
-    The pack is opened read-only, so its pages are clean and DONTNEED drops
-    them immediately — no root / drop_caches needed.  Returns False when the
+    DONTNEED only drops CLEAN pages, and a pack built moments ago by
+    _build_bench_pack is still dirty — fsync first so the eviction is real
+    for fresh packs too (a silent no-op here would report a warm first pass
+    as "cold").  No root / drop_caches needed.  Returns False when the
     platform call is unavailable.
     """
     try:
         fd = os.open(path, os.O_RDONLY)
         try:
+            os.fsync(fd)
             os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
         finally:
             os.close(fd)
@@ -365,17 +370,30 @@ def host_fed_pairs_per_sec(model, variables, cfg, frames: int, samples: int,
                     break
             first_pass = k * b / (time.perf_counter() - t0)
         windows = []
+        exhausted = False
         for _ in range(n_windows):
             t0 = time.perf_counter()
             pairs = 0
             while True:
-                v = float(np.asarray(encode_score(variables, next(it))))
+                batch = next(it, None)  # finite plan: end windows gracefully
+                if batch is None:
+                    exhausted = True
+                    break
+                v = float(np.asarray(encode_score(variables, batch)))
                 assert np.isfinite(v)
                 pairs += b
                 if (time.perf_counter() - t0 >= window_seconds
                         and pairs >= 4 * b):
                     break
-            windows.append(pairs / (time.perf_counter() - t0))
+            if pairs >= 4 * b:  # keep only windows with enough signal
+                windows.append(pairs / (time.perf_counter() - t0))
+            if exhausted:
+                print(f"host-fed bench: batch plan exhausted after "
+                      f"{len(windows)} full windows (raise max_epochs or "
+                      f"BENCH_HOST_ITEMS for more)")
+                break
+        if not windows:
+            return None
     finally:
         prefetcher.close()
         loader.close()

@@ -72,26 +72,50 @@ def find_vendored(data_dir: str):
 
 
 def validate_format(path: str, vocab):
-    """Parse the vendored file; return (n_rows, dim, coverage over vocab)."""
+    """Parse the vendored file; return (n_rows, dim, coverage over vocab).
+
+    Two deliberate choices, both matching the consumer
+    (analysis/grsa.py::glove_text_embedder):
+    - coverage counts a vocab word only if the file token matches it
+      EXACTLY: the embedder stores vectors case-sensitively and looks up
+      lowercased words, so a 'Peppa'-only row would validate-as-covered
+      but embed zeros.  Case-only matches are reported as a warning.
+    - unparseable rows are skipped, not fatal: glove.840B contains
+      multiword tokens ('. . .', addresses) that a `grep -Fw` selection
+      legitimately drags in; the embedder ignores them too.
+    """
     import numpy as np
 
     dims = set()
     present = set()
-    n = 0
+    case_only = set()
+    n = skipped = 0
     wanted = set(vocab)
     with open(path, encoding="utf8") as f:
         for line in f:
             parts = line.rstrip().split(" ")
             if len(parts) < 2:
                 continue
-            vec = np.asarray(parts[1:], np.float32)
+            try:
+                vec = np.asarray(parts[1:], np.float32)
+            except ValueError:
+                skipped += 1  # multiword token row; embedder skips it too
+                continue
             if not np.isfinite(vec).all():
                 raise ValueError(f"non-finite vector for {parts[0]!r}")
             dims.add(len(vec))
             n += 1
-            w = parts[0].lower()
-            if w in wanted:
-                present.add(w)
+            if parts[0] in wanted:
+                present.add(parts[0])
+            elif parts[0].lower() in wanted:
+                case_only.add(parts[0])
+    if skipped:
+        print(f"note: skipped {skipped} unparseable rows (multiword tokens)")
+    if case_only:
+        print(f"WARNING: {len(case_only)} tokens match the vocabulary only "
+              f"by case ({sorted(case_only)[:5]}...); the embedder looks up "
+              f"lowercase keys, so these rows will NOT be used — vendor "
+              f"lowercase-token rows for them")
     if len(dims) != 1:
         raise ValueError(f"inconsistent vector dims in {path}: {sorted(dims)}")
     return n, dims.pop(), (len(present) / max(len(wanted), 1))

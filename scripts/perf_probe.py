@@ -865,7 +865,6 @@ def probe_train_macro():
         cfg = default_config()
         cfg.training.precision = "bf16"
         cfg.video.midplanes_multiple = 128
-        cfg.optimizer.accumulate_grad_batches = acc
         if remat:
             cfg.tpu.remat_audio = cfg.tpu.remat_video = True
         model, variables = init_model(cfg, jax.random.PRNGKey(0),

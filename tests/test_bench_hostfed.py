@@ -71,6 +71,8 @@ def test_host_fed_distribution_and_variants(tiny_model, tmp_path, monkeypatch):
     assert cold["first_pass_cold"] is None or cold["first_pass_cold"] > 0
 
 
+@pytest.mark.skipif(not hasattr(os, "posix_fadvise"),
+                    reason="posix_fadvise unavailable on this platform")
 def test_drop_file_cache(tmp_path):
     p = tmp_path / "blob.bin"
     p.write_bytes(os.urandom(1 << 20))

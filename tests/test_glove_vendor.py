@@ -101,3 +101,21 @@ def test_validate_format_rejects_ragged(tmp_path):
         f.write("dog 1.0 2.0 3.0\n")
     with pytest.raises(ValueError, match="inconsistent"):
         gvv.validate_format(str(p), ["cat", "dog"])
+
+
+def test_validate_format_multiword_and_case(tmp_path, capsys):
+    """840B quirks: multiword-token rows parse-skip (not fatal), and rows
+    matching the vocabulary only by CASE don't count as coverage — the
+    embedder (analysis/grsa.py::glove_text_embedder) stores keys
+    case-sensitively and looks up lowercase."""
+    p = tmp_path / "sub.txt"
+    with open(p, "w") as f:
+        f.write("cat 1.0 2.0\n")
+        f.write(". . . 0.5 0.5\n")        # multiword token from grep -Fw
+        f.write("Dog 1.0 2.0\n")          # case-only match: unusable
+    n, dim, cov = gvv.validate_format(str(p), ["cat", "dog"])
+    assert (n, dim) == (2, 2)             # the multiword row is skipped
+    assert cov == pytest.approx(0.5)      # only 'cat' truly covered
+    out = capsys.readouterr().out
+    assert "skipped 1 unparseable" in out
+    assert "WARNING" in out and "Dog" in out
