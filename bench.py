@@ -162,16 +162,19 @@ def main():
             variant = variant.strip()
             if not variant:
                 continue
-            try:
-                host_fed[variant] = host_fed_pairs_per_sec(
-                    model, variables, cfg, frames, samples,
-                    audio_int16=(variant == "int16"),
-                    cold_cache=(variant == "cold"))
-            except Exception as e:  # never let an aux metric sink the headline
-                import traceback
-                traceback.print_exc()
-                print(f"host-fed bench ({variant}) failed: {e!r}")
-                host_fed[variant] = None
+            for attempt in (1, 2):  # one retry: transient tunnel/device
+                try:                 # hiccups cost a whole variant otherwise
+                    host_fed[variant] = host_fed_pairs_per_sec(
+                        model, variables, cfg, frames, samples,
+                        audio_int16=(variant == "int16"),
+                        cold_cache=(variant == "cold"))
+                    break
+                except Exception as e:  # never sink the headline
+                    import traceback
+                    traceback.print_exc()
+                    print(f"host-fed bench ({variant}) attempt {attempt} "
+                          f"failed: {e!r}")
+                    host_fed[variant] = None
 
     # % of this chip's measured practical matmul peak (PERF.md
     # "Calibration": chained rng-free GEMM probes put bf16 at 172-208 TF/s
