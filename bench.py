@@ -186,8 +186,15 @@ def main():
     tflop_per_pair = 6.0 / 32.0
     chip_peak_tf = 185.0
     # a PERCENT (39.6 = 39.6% of peak), as the field name says — a fraction
-    # here would read as 0.4% to anyone taking the name literally
-    pct_of_chip_peak = 100.0 * value * tflop_per_pair / chip_peak_tf
+    # here would read as 0.4% to anyone taking the name literally.  The
+    # constants assume the DEFAULT model config (midplanes=128, bf16): with
+    # BENCH_MIDPLANES/BENCH_INT8 overrides the FLOP/pair and effective peak
+    # both change, so the percent is emitted as null rather than mislabeled.
+    default_model_cfg = (cfg.video.midplanes_multiple == 128
+                         and not cfg.tpu.quantize_int8)
+    pct_of_chip_peak = (
+        round(100.0 * value * tflop_per_pair / chip_peak_tf, 2)
+        if default_model_cfg else None)
 
     f32_stats = host_fed.get("f32")
     print(json.dumps({
@@ -195,7 +202,8 @@ def main():
         "value": round(value, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / 5000.0, 4),
-        "pct_of_chip_peak": round(pct_of_chip_peak, 2),
+        "pct_of_chip_peak": pct_of_chip_peak,
+        "pct_assumes": {"midplanes_multiple": 128, "int8": False},
         "chip_peak_tflops_band": [172, 208],
         "model_tflop_per_pair": round(tflop_per_pair, 4),
         "host_fed_pairs_per_sec": (f32_stats and f32_stats.get("median")),
@@ -395,20 +403,26 @@ def host_fed_pairs_per_sec(model, variables, cfg, frames: int, samples: int,
                       f"{len(windows)} full windows (raise max_epochs or "
                       f"BENCH_HOST_ITEMS for more)")
                 break
-        if not windows:
+        if not windows and not (cold_cache and first_pass is not None):
             return None
     finally:
         prefetcher.close()
         loader.close()
         pack.close()
-    windows_sorted = sorted(windows)
-    stats = {
-        "median": round(windows_sorted[len(windows_sorted) // 2], 1),
-        "min": round(windows_sorted[0], 1),
-        "max": round(windows_sorted[-1], 1),
-        "windows": [round(w, 1) for w in windows],
-        "window_seconds": window_seconds,
-    }
+    if windows:
+        windows_sorted = sorted(windows)
+        stats = {
+            "median": round(windows_sorted[len(windows_sorted) // 2], 1),
+            "min": round(windows_sorted[0], 1),
+            "max": round(windows_sorted[-1], 1),
+            "windows": [round(w, 1) for w in windows],
+            "window_seconds": window_seconds,
+        }
+    else:
+        # plan exhausted before any full steady-state window, but the cold
+        # first pass WAS measured — carry it rather than discarding the run
+        stats = {"median": None, "min": None, "max": None, "windows": [],
+                 "window_seconds": window_seconds}
     if cold_cache:
         stats["first_pass_cold"] = (round(first_pass, 1)
                                     if first_pass is not None else None)

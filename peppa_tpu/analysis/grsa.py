@@ -250,7 +250,14 @@ def glove_text_embedder(path: Optional[str] = None, dim: int = 300,
     with open(path, encoding="utf8") as f:
         for line in f:
             parts = line.rstrip().split(" ")
-            vectors[parts[0]] = np.asarray(parts[1:], np.float32)
+            try:
+                # glove.840B carries multiword tokens ('. . .', 'at name@…')
+                # whose tails are not all floats; skip them like the vendor
+                # validator (scripts/glove_vendor_validate.py) does, instead
+                # of crashing the analysis at load time.
+                vectors[parts[0]] = np.asarray(parts[1:], np.float32)
+            except ValueError:
+                continue
     if vectors:
         dim = len(next(iter(vectors.values())))
 

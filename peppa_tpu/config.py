@@ -30,6 +30,10 @@ class AudioConfig:
     # transformer depth override (None = wav2vec2-base's 12); used by tests
     # and scaling experiments — pretrained checkpoints require the full 12
     num_layers: Optional[int] = None
+    # override EVERY dropout/layerdrop rate (None = wav2vec2-base defaults);
+    # 0.0 makes the training forward deterministic — used by the
+    # torch-vs-JAX training-dynamics twin (tests/torch_twin.py)
+    dropout: Optional[float] = None
 
 
 @dataclass

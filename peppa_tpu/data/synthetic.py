@@ -20,6 +20,34 @@ from peppa_tpu.data.types import Clip
 DEFAULT_SAMPLE_RATE = 44100
 
 
+N_CLASSES = 8  # shared latent classes driving both modalities
+
+
+def correlated_pair(rng: np.random.Generator, k: int, frames: int,
+                    samples: int, w: int, h: int, sample_rate: float,
+                    video_noise: float = 0.08, audio_noise: float = 0.01):
+    """One latent class `k` rendered in BOTH modalities.
+
+    video: class-colored gradient pattern + noise, float32 in [0, 1],
+    (frames, h, w, 3); audio: sine at the class frequency + noise, float32,
+    (samples,).  A contrastive model trained on clips from this family can
+    retrieve across held-out items, so learning is measurable above chance.
+    (Same formulas as scripts/recipe_ab.py's on-device twin.)
+    """
+    hue = np.asarray([np.sin(2 * np.pi * (k / N_CLASSES + p))
+                      for p in (0.0, 1 / 3, 2 / 3)], np.float32)
+    grad = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+    base = 0.5 + 0.25 * hue * (0.5 + (k % 2) * grad)
+    video = np.clip(base[None] + video_noise * rng.standard_normal(
+        (frames, h, w, 3)).astype(np.float32), 0, 1)
+    freq = 80.0 * (2.0 ** (k / 2.0))
+    tt = np.arange(samples) / sample_rate
+    phase = rng.uniform(0, 2 * np.pi)
+    audio = (0.1 * np.sin(2 * np.pi * freq * tt + phase)
+             + audio_noise * rng.standard_normal(samples)).astype(np.float32)
+    return video, audio
+
+
 class SyntheticClipDataset:
     """Map-style dataset of random clips with given durations."""
 
@@ -40,8 +68,6 @@ class SyntheticClipDataset:
     def __len__(self) -> int:
         return len(self.durations)
 
-    N_CLASSES = 8  # shared latent classes driving both modalities
-
     def __getitem__(self, idx: int) -> Clip:
         if idx >= len(self.durations):
             raise IndexError
@@ -51,28 +77,18 @@ class SyntheticClipDataset:
         t = max(int(round(dur * self.fps)), 1)
         s = max(int(round(dur * self.sample_rate)), 1)
         if self.correlated:
-            # a latent class drives BOTH modalities in a generalizable way:
-            # video = class-colored gradient pattern + noise, audio = sine at
-            # the class frequency + noise.  A contrastive model trained on
-            # one sample of clips can retrieve across held-out samples, so
-            # learning is measurable above chance on fresh validation items.
-            k = int(rng.integers(0, self.N_CLASSES))
-            hue = np.asarray([np.sin(2 * np.pi * (k / self.N_CLASSES + p))
-                              for p in (0.0, 1 / 3, 2 / 3)], np.float32)
-            grad = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
-            base = 0.5 + 0.25 * hue * (0.5 + (k % 2) * grad)
-            video = np.clip(base[None] + 0.08 * rng.standard_normal(
-                (t, h, w, 3)).astype(np.float32), 0, 1)
-            freq = 80.0 * (2.0 ** (k / 2.0))
+            k = int(rng.integers(0, N_CLASSES))
+            video, audio = correlated_pair(rng, k, t, s, w, h,
+                                           self.sample_rate)
         else:
             video = np.clip(
                 rng.uniform(0, 1, size=(1, h, w, 3)).astype(np.float32)
                 + 0.05 * rng.standard_normal((t, h, w, 3)), 0, 1)
             freq = 100.0
-        tt = np.arange(s) / self.sample_rate
-        phase = rng.uniform(0, 2 * np.pi)
-        audio = (0.1 * np.sin(2 * np.pi * freq * tt + phase)
-                 + 0.01 * rng.standard_normal(s)).astype(np.float32)
+            tt = np.arange(s) / self.sample_rate
+            phase = rng.uniform(0, 2 * np.pi)
+            audio = (0.1 * np.sin(2 * np.pi * freq * tt + phase)
+                     + 0.01 * rng.standard_normal(s)).astype(np.float32)
         # ship uint8 like the production cached/native pipeline: 4x less
         # host->device transfer; /255 fuses into on-device normalization
         video_u8 = (np.clip(video, 0, 1) * 255.0).astype(np.uint8)
@@ -92,11 +108,18 @@ def make_synthetic_episode_tree(data_dir: str,
                                 clips_per_episode: int = 2,
                                 clip_seconds: float = 7.0,
                                 sample_rate: int = 8000,
-                                seed: int = 0) -> None:
+                                seed: int = 0,
+                                correlated: bool = False) -> None:
     """Write data/out/{W}x{H}/{fragment}/{ep}/{i}.npz (+.json) episode clips.
 
     Mirrors the layout the reference's extraction produces
     (pig/preprocess.py:40-57) so PeppaPigIterableDataset globs it.
+
+    `correlated=True` draws each clip from the `correlated_pair` family (one
+    latent class per clip file, shared by both modalities) instead of pure
+    noise — a model TRAINED on this family (e.g. via PigData over a dialog
+    tree) evaluates well above chance on a held-out tree, which is what the
+    trained twin-parity battery needs.
     """
     rng = np.random.default_rng(seed)
     w, h = target_size
@@ -107,8 +130,14 @@ def make_synthetic_episode_tree(data_dir: str,
         for i in range(clips_per_episode):
             t = int(clip_seconds * fps)
             s = int(clip_seconds * sample_rate)
-            video = rng.integers(0, 255, size=(t, h, w, 3), dtype=np.uint8)
-            audio = (0.1 * rng.standard_normal(s)).astype(np.float32)
+            if correlated:
+                k = int(rng.integers(0, N_CLASSES))
+                vf, audio = correlated_pair(rng, k, t, s, w, h, sample_rate)
+                video = (np.clip(vf, 0, 1) * 255.0).astype(np.uint8)
+            else:
+                video = rng.integers(0, 255, size=(t, h, w, 3),
+                                     dtype=np.uint8)
+                audio = (0.1 * rng.standard_normal(s)).astype(np.float32)
             # subtitle lines every ~2s for duration=None mode
             subs = []
             t0 = 0.0

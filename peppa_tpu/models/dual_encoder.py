@@ -37,8 +37,18 @@ class PeppaPig(nn.Module):
     def setup(self):
         cfg = self.config
         dtype = _dtype_of(cfg.training.precision)
-        audio_cfg = (Wav2Vec2Config(num_layers=cfg.audio.num_layers)
-                     if cfg.audio.num_layers is not None else Wav2Vec2Config())
+        audio_kw = {}
+        if cfg.audio.num_layers is not None:
+            audio_kw["num_layers"] = cfg.audio.num_layers
+        if cfg.audio.dropout is not None:
+            # one knob overrides every stochastic rate (config.py AudioConfig.
+            # dropout): 0.0 gives a deterministic training forward for the
+            # torch-vs-JAX dynamics twin
+            audio_kw.update(dropout=cfg.audio.dropout,
+                            attention_dropout=cfg.audio.dropout,
+                            activation_dropout=cfg.audio.dropout,
+                            layer_drop=cfg.audio.dropout)
+        audio_cfg = Wav2Vec2Config(**audio_kw)
         # jax.checkpoint (remat) trades recompute for activation HBM on the
         # backward pass; argnums 3+ of the encoders' __call__ are static
         # (deterministic/train flags, tap names).

@@ -14,9 +14,9 @@ Data: the on-device twin of data/synthetic.py's correlated generator — a
 shared latent class drives a colored-gradient video pattern and a sine at
 the class frequency (all generated inside the jitted step; nothing crosses
 the tunnel but scalars), so the dual encoder must learn the cross-modal
-correspondence the loss rewards.  With 8 classes over 64 eval pairs,
-recall@1 is tie-limited (~1/8 ceiling); recall@10 is the informative
-metric.
+correspondence the loss rewards.  With 32 classes over 64 eval pairs
+(~2 same-class members per query), recall@1 and recall@10 both sit below
+their tie ceilings, so either can separate the recipes.
 
 Usage: python scripts/recipe_ab.py [--steps 100] [--seeds 2]
 """
@@ -74,7 +74,12 @@ def main():
     # signal a conv stem can actually pick up, unlike a per-pixel random
     # projection (the first draft of this script; both recipes sat at exact
     # chance because the pattern was white noise the pooling averaged away).
-    n_classes = 8
+    # 32 classes (not 8): with 8, recall@10 over a 64-pair eval batch sat AT
+    # its tie ceiling (59/64 = 0.9219 identically at every arm and seed), so
+    # it could not separate the recipes.  At 32 classes (~2 same-class
+    # members per query) both recall metrics sit below their ceilings and
+    # can actually move.
+    n_classes = 32
     sample_rate = 44100.0
 
     def make_batch(key, b):
@@ -88,7 +93,7 @@ def main():
         video = jnp.clip(
             base[:, None]  # (b,1,H,W,3) broadcast over frames
             + 0.08 * jax.random.normal(kn_v, (b, FRAMES, H, W, 3)), 0.0, 1.0)
-        freq = 80.0 * 2.0 ** (k / 2.0)  # (b,)
+        freq = 80.0 * 2.0 ** (k / 5.0)  # (b,) 80 Hz..5.9 kHz, under Nyquist
         tt = jnp.arange(SAMPLES, dtype=jnp.float32) / sample_rate
         phase = jax.random.uniform(kph, (b, 1), jnp.float32, 0, 2 * jnp.pi)
         audio = (0.1 * jnp.sin(2 * jnp.pi * freq[:, None] * tt[None] + phase)

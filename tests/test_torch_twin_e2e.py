@@ -41,3 +41,31 @@ def test_torch_twin_full_battery_within_1pct(tmp_path):
     for name in headline:
         row = by_name[name]
         assert row["abs_diff"] <= TOLERANCE, (name, row)
+
+
+@pytest.mark.slow
+def test_training_dynamics_twin():
+    """Torch-vs-JAX TRAINING dynamics (VERDICT r4 #2): same init, same
+    batches, dropout off — the composed train step (TripletLoss + BertAdam)
+    is the same function in both frameworks.
+
+    Bounds are ~10x the measured CPU values (loss |d| 5e-7..2e-4 over the
+    first steps; param |d| 0.0 / 3.3e-5 / 3.5e-4 after steps 1/2/5).  A
+    hinge loss makes LONG trajectories chaotic (see run_dynamics_twin), so
+    only the early horizon + param-level checks are asserted.
+    """
+    import numpy as np
+
+    from tests.torch_twin import run_dynamics_twin
+
+    r = run_dynamics_twin(steps=8, lr=1e-4)
+    tl = np.asarray(r["torch_losses"])
+    jl = np.asarray(r["jax_losses"])
+    assert np.isfinite(tl).all() and np.isfinite(jl).all()
+    d = np.abs(tl - jl)
+    assert d[0] < 1e-5, d
+    assert d[:3].max() < 2e-3, d
+    pd = r["param_max_abs_diff_after"]
+    assert pd[1] < 1e-6, pd       # first update: bit-level agreement
+    assert pd[2] < 5e-4, pd
+    assert pd[5] < 5e-3, pd

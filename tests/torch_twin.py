@@ -632,3 +632,230 @@ def run_twin_battery(work_dir, *, episodes=12, clips_per_episode=2,
     add("lines/triplet_acc", trip_t["accuracy"].mean().item(),
         np.asarray(trip_j["accuracy"]).mean())
     return rows
+
+
+# =====================================================================
+# torch TRAINING twin: TripletLoss + BertAdam from the reference formulas,
+# composed into the reference's training step — for training-DYNAMICS
+# parity evidence (same init, same batches, dropout off, N optimizer steps
+# in both frameworks).  Reference: pig/models.py:256-265 (training_step),
+# pig/loss.py:28-48, pig/optimization.py:26-49,135-177.
+# =====================================================================
+
+
+def t_triplet_loss(v, a, margin=0.2):
+    """Reference pig/loss.py:28-48: l2-normalize both towers, cosine matrix,
+    hinge every off-diagonal entry against its row's AND its column's
+    diagonal, mean over B^2."""
+    v = tF.normalize(v.float(), p=2, dim=1)
+    a = tF.normalize(a.float(), p=2, dim=1)
+    m = a @ v.t()
+    diag = m.diag()
+    c = (torch.clamp(margin + m - diag.unsqueeze(0), min=0.0)
+         + torch.clamp(margin + m - diag.unsqueeze(1), min=0.0))
+    b = m.shape[0]
+    return (c.sum() - c.diag().sum()) / (b * b)
+
+
+class TBertAdam:
+    """Reference pig/optimization.py BertAdam: Adam with NO bias correction
+    (:174-177), decoupled weight decay added to the update (:152-153),
+    per-parameter-TENSOR gradient-norm clipping (:135-137), and warmup
+    schedules keyed by the PRE-increment step / t_total (:155-172)."""
+
+    @staticmethod
+    def _sched(name, x, warmup):
+        if name == "warmup_linear":
+            return x / warmup if x < warmup else max((x - 1.0) / (warmup - 1.0), 0.0)
+        if name == "warmup_constant":
+            return x / warmup if x < warmup else 1.0
+        if name == "warmup_cosine":
+            return x / warmup if x < warmup else 0.5 * (1.0 + math.cos(math.pi * x))
+        raise ValueError(name)
+
+    def __init__(self, params, lr=1e-4, warmup=0.1, t_total=15000,
+                 schedule="warmup_linear", b1=0.9, b2=0.999, e=1e-6,
+                 weight_decay=0.01, max_grad_norm=1.0):
+        self.params = [p for p in params]
+        self.lr, self.warmup, self.t_total = lr, warmup, t_total
+        self.schedule = schedule
+        self.b1, self.b2, self.e = b1, b2, e
+        self.weight_decay, self.max_grad_norm = weight_decay, max_grad_norm
+        self.state = [dict(step=0, m=torch.zeros_like(p), v=torch.zeros_like(p))
+                      for p in self.params]
+
+    @torch.no_grad()
+    def step(self):
+        for p, st in zip(self.params, self.state):
+            if p.grad is None:
+                continue
+            g = p.grad.float()
+            if self.max_grad_norm > 0:
+                norm = g.pow(2).sum().sqrt().item()
+                g = g * min(1.0, self.max_grad_norm / max(norm, 1e-12))
+            st["m"].mul_(self.b1).add_(g, alpha=1 - self.b1)
+            st["v"].mul_(self.b2).addcmul_(g, g, value=1 - self.b2)
+            upd = st["m"] / (st["v"].sqrt() + self.e)
+            if self.weight_decay > 0:
+                upd = upd + self.weight_decay * p
+            if self.t_total == -1:
+                lr_t = self.lr
+            else:
+                lr_t = self.lr * self._sched(self.schedule,
+                                             st["step"] / self.t_total,
+                                             self.warmup)
+            p.add_(upd, alpha=-lr_t)
+            st["step"] += 1
+
+    def zero_grad(self):
+        for p in self.params:
+            p.grad = None
+
+
+def _torch_batch(batch):
+    """ClipBatch (numpy, uint8 video) -> torch (video BCTHW float[0,1], audio)."""
+    video = np.asarray(batch.video)
+    if video.dtype == np.uint8:
+        video = video.astype(np.float32) / 255.0
+    video = torch.tensor(np.transpose(video.astype(np.float32), (0, 4, 1, 2, 3)))
+    audio = torch.tensor(np.asarray(batch.audio, np.float32))
+    return video, audio
+
+
+def run_dynamics_twin(steps=60, batch_size=4, n_batches=2, seed=0,
+                      target_size=(32, 24), sample_rate=800,
+                      clip_seconds=0.5, lr=2e-4, t_total=200, warmup=0.1,
+                      num_layers=2):
+    """Train the SAME tiny dual encoder from the SAME init on the SAME batch
+    cycle for `steps` BertAdam steps in torch and in peppa_tpu (dropout off,
+    fp32, accumulate=1), step-interleaved.
+
+    Returns dict with:
+      - 'torch_losses' / 'jax_losses' (length `steps`);
+      - 'param_max_abs_diff_after' {step: max |Δparam| across EVERY tensor},
+        checked after steps 1, 2 and 5 — the crispest evidence that the
+        composed update (grad -> per-tensor clip -> m/v -> decoupled decay ->
+        scheduled lr, pre-increment step) is the same function in both
+        frameworks, free of trajectory chaos;
+      - 'final_embedding_max_abs_diff' — train-mode embeddings of batch 0
+        after training (train-mode so the comparison is independent of
+        running-stat bookkeeping conventions).
+
+    A hinge contrastive loss makes long trajectories CHAOTIC: a ~1e-6 fp32
+    difference flips a hinge term near its boundary and the runs separate
+    exponentially, so per-step loss equality is only asserted over the early
+    horizon (the caller decides the window; see test_torch_twin_e2e).  The
+    param-level checks are what pin the semantics.
+
+    Reference composition being twinned: pig/models.py:256-265 training_step
+    (encode both towers -> TripletLoss) + pig/optimization.py BertAdam with
+    the published hyperparameters' semantics.
+    """
+    import jax
+
+    from peppa_tpu.config import Config
+    from peppa_tpu.data.dataset import collate
+    from peppa_tpu.data.synthetic import SyntheticClipDataset
+    from peppa_tpu.models.convert import export_peppa_state_dict
+    from peppa_tpu.models.dual_encoder import init_model
+    from peppa_tpu.training.optimization import make_optimizer
+    from peppa_tpu.training.state import TrainState
+    from peppa_tpu.training.step import make_train_step
+
+    cfg = Config()
+    cfg.data.target_size = target_size
+    cfg.data.audio_sample_rate = sample_rate
+    cfg.training.precision = "fp32"
+    cfg.audio.num_layers = num_layers
+    cfg.audio.dropout = 0.0  # deterministic training forward
+    # video.pretrained stays True: the flag selects the KINETICS channel
+    # stats (pig/models.py:140) which the torch twin hardcodes; init_model
+    # does not load any weights either way (that's pretrained_loader's job)
+    cfg.optimizer.lr = lr
+    cfg.optimizer.t_total = t_total
+    cfg.optimizer.warmup = warmup
+    cfg.tpu.use_pallas = False
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(seed))
+
+    tmodel = TorchPeppaPig(W2V_CONV_LAYERS, mean=KINETICS_MEAN,
+                          std=KINETICS_STD, n_layers=num_layers)
+    tmodel.load_state_dict(export_peppa_state_dict(variables, cfg),
+                           strict=True)
+
+    ds = SyntheticClipDataset([clip_seconds] * (batch_size * n_batches),
+                              target_size=target_size,
+                              sample_rate=sample_rate, seed=seed,
+                              correlated=True)
+    items = [ds[i] for i in range(len(ds))]
+    batches = [collate(items[i * batch_size:(i + 1) * batch_size])
+               for i in range(n_batches)]
+
+    # ---- peppa_tpu side: the real production train step + optimizer;
+    # torch side: the reference-formula twin.  Step-interleaved so params
+    # can be compared at chosen steps.
+    tx = make_optimizer(cfg.optimizer, accumulate_grad_batches=1,
+                        params=variables["params"])
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, cfg.margin, donate=False)
+    rng = jax.random.PRNGKey(999)  # dropout rngs are dead at rate 0.0
+    opt = TBertAdam(list(tmodel.parameters()), lr=lr, warmup=warmup,
+                    t_total=t_total, schedule=cfg.optimizer.schedule,
+                    b1=cfg.optimizer.b1, b2=cfg.optimizer.b2,
+                    e=cfg.optimizer.e,
+                    weight_decay=cfg.optimizer.weight_decay,
+                    max_grad_norm=cfg.optimizer.max_grad_norm)
+    tmodel.train()
+    tbatches = [_torch_batch(b) for b in batches]
+    j_losses, t_losses = [], []
+    param_checkpoints = (1, 2, 5)
+    param_diffs = {}
+    for i in range(steps):
+        state, metrics = train_step(state, batches[i % n_batches], rng)
+        j_losses.append(float(metrics["train_loss"]))
+        video, audio = tbatches[i % n_batches]
+        v = tmodel.video_encoder(video)
+        a = tmodel.audio_encoder(audio)
+        loss = t_triplet_loss(v, a, margin=cfg.margin)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+        if i + 1 in param_checkpoints:
+            sd_j = export_peppa_state_dict(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                cfg)
+            sd_t = tmodel.state_dict()
+            worst = 0.0
+            for k, tv in sd_t.items():
+                # running stats excluded: torch updates running_var with the
+                # UNBIASED batch variance (n/(n-1)), flax with the biased one
+                # — a bookkeeping convention (~1e-4 on tiny reductions) that
+                # never enters the train-mode forward being twinned here
+                if (k.endswith("num_batches_tracked")
+                        or "running_mean" in k or "running_var" in k):
+                    continue
+                d = (sd_j[k].float() - tv.detach().float()).abs().max().item()
+                worst = max(worst, d)
+            param_diffs[i + 1] = worst
+
+    # ---- final train-mode embeddings on batch 0 (both frameworks)
+    with torch.no_grad():
+        video, audio = tbatches[0]
+        vt = tmodel.video_encoder(video).numpy()
+        at = tmodel.audio_encoder(audio).numpy()
+
+    def fwd(vs, b):
+        out, _ = model.apply(vs, b, train=True,
+                             rngs={"dropout": rng, "layerdrop": rng},
+                             mutable=["batch_stats"])
+        return out
+
+    out = jax.jit(fwd)({"params": state.params,
+                        "batch_stats": state.batch_stats}, batches[0])
+    vj = np.asarray(out.video, np.float32)
+    aj = np.asarray(out.audio, np.float32)
+    emb_diff = max(np.abs(vj - vt).max(), np.abs(aj - at).max())
+    return {"torch_losses": t_losses, "jax_losses": j_losses,
+            "param_max_abs_diff_after": param_diffs,
+            "final_embedding_max_abs_diff": float(emb_diff)}
