@@ -155,6 +155,22 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     value = pairs_per_s / n_chips
 
+    # ---- TRAINING throughput at the shipped production recipe (VERDICT r4
+    # #7): micro-batch 16 x accumulate 4 (hparams_tpu_production.yaml),
+    # bf16, full-size media, device-resident batches.  Measured here so the
+    # round artifact (BENCH_rN.json) machine-checks the training surface,
+    # not just inference.
+    train = {}
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            train = train_throughput(frames, samples)
+        except Exception as e:  # never sink the headline
+            import traceback
+            traceback.print_exc()
+            print(f"train-throughput bench failed: {e!r}")
+            train = {"train_clips_per_sec": None, "train_step_ms": None,
+                     "train_recipe": TRAIN_RECIPE}
+
     host_fed = {}
     if os.environ.get("BENCH_HOST_FED", "1") == "1":
         for variant in os.environ.get("BENCH_HOST_VARIANTS",
@@ -208,7 +224,78 @@ def main():
         "model_tflop_per_pair": round(tflop_per_pair, 4),
         "host_fed_pairs_per_sec": (f32_stats and f32_stats.get("median")),
         "host_fed": host_fed,
+        **train,
     }))
+
+
+TRAIN_RECIPE = "16x4_bf16_midplanes128"  # hparams_tpu_production.yaml
+
+
+def train_throughput(frames: int, samples: int,
+                     micro_b: int = 16, accum: int = 4,
+                     warmup_steps: int = 3, timed_steps: int = 12):
+    """Train-step throughput at the production recipe, device-resident.
+
+    A fresh model/optimizer at bf16 + midplanes=128 + MultiSteps(accum);
+    `timed_steps` micro-steps (whole accumulation cycles) over a rotation of
+    pre-staged distinct batches (identical repeated executions would be
+    deduped by the tunnel relay — bench gotcha), timed with a host fetch of
+    the final loss.  One dispatch per micro-step keeps device time far under
+    the ~20 s tunnel hazard (ROADMAP round-4 note).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from peppa_tpu.config import default_config
+    from peppa_tpu.data.types import ClipBatch
+    from peppa_tpu.models.dual_encoder import init_model
+    from peppa_tpu.training.optimization import make_optimizer
+    from peppa_tpu.training.state import TrainState
+    from peppa_tpu.training.step import make_train_step
+
+    assert timed_steps % accum == 0, "time whole accumulation cycles"
+    cfg = default_config()
+    cfg.training.precision = "bf16"
+    cfg.video.midplanes_multiple = 128
+    model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                  audio_samples=samples, video_frames=frames)
+    tx = make_optimizer(cfg.optimizer, accumulate_grad_batches=accum,
+                        params=variables["params"])
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, cfg.margin, donate=True)
+
+    @jax.jit
+    def make_batch(seed):
+        kv, ka = jax.random.split(jax.random.PRNGKey(seed))
+        return ClipBatch(
+            video=jax.random.randint(
+                kv, (micro_b, frames, 100, 180, 3), 0, 256, jnp.uint8),
+            audio=jax.random.normal(ka, (micro_b, samples), jnp.float32) * 0.1,
+            video_duration=jnp.full((micro_b,), 2.3),
+            audio_duration=jnp.full((micro_b,), 2.3),
+            video_frames=jnp.full((micro_b,), frames, jnp.int32),
+            audio_samples=jnp.full((micro_b,), samples, jnp.int32))
+
+    batches = [jax.block_until_ready(make_batch(i)) for i in range(accum)]
+    rng = jax.random.PRNGKey(7)
+    loss = None
+    for i in range(warmup_steps):  # compile + settle
+        state, metrics = step(state, batches[i % accum], rng)
+        loss = float(np.asarray(metrics["train_loss"]))
+    t0 = time.perf_counter()
+    for i in range(timed_steps):
+        state, metrics = step(state, batches[i % accum], rng)
+    loss = float(np.asarray(metrics["train_loss"]))  # fetch = completion
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return {
+        "train_clips_per_sec": round(timed_steps * micro_b / elapsed, 1),
+        "train_step_ms": round(1e3 * elapsed / timed_steps, 1),
+        "train_recipe": TRAIN_RECIPE,
+    }
 
 
 def _build_bench_pack(path: str, n_items: int, frames: int, samples: int,

@@ -282,18 +282,23 @@ def _comparable(cfg: Config) -> Dict[str, Any]:
 
 
 def match_conditions(log_dir: str = "lightning_logs",
-                     versions: Optional[Sequence[int]] = None
+                     versions: Optional[Sequence[int]] = None,
+                     base: Optional[Config] = None
                      ) -> Dict[str, List[int]]:
     """Reverse-map logged runs to their ablation condition.
 
     Parity: reference pig/execution.py:93-108 — compare each run's saved
     hparams against the generated condition configs (ignoring run-specific
-    keys like git_commit).
+    keys like git_commit).  `base` generates the condition set from a
+    non-default base config (e.g. the tiny-shape sweep in
+    scripts/ablation_sweep.py); None keeps the reference's default-config
+    behavior.
     """
     import glob as _glob
     import re as _re
 
-    configs = {name: _comparable(cfg) for name, cfg in conditions().items()}
+    configs = {name: _comparable(cfg)
+               for name, cfg in conditions(base).items()}
     if versions is None:
         paths = _glob.glob(os.path.join(log_dir, "version_*", "hparams.yaml"))
     else:
@@ -312,12 +317,14 @@ def match_conditions(log_dir: str = "lightning_logs",
 
 
 def save_conditions(log_dir: str = "lightning_logs",
-                    path: str = "conditions.yaml", keep: int = 4) -> None:
+                    path: str = "conditions.yaml", keep: int = 4,
+                    base: Optional[Config] = None) -> None:
     """conditions.yaml: condition -> first `keep` matching run IDs.
 
     Parity: reference pig/execution.py:110-115.
     """
-    runs = {k: sorted(v)[:keep] for k, v in match_conditions(log_dir).items()}
+    runs = {k: sorted(v)[:keep]
+            for k, v in match_conditions(log_dir, base=base).items()}
     with open(path, "w") as f:
         yaml.safe_dump(runs, f)
 

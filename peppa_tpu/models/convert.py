@@ -979,6 +979,18 @@ def save_reference_checkpoint(path: str, variables: Dict[str, Any], config,
 
     state = export_peppa_state_dict(variables, config)
     hparams = {k: v for k, v in config.to_dict().items() if k != "tpu"}
+    # The reference splats these sections into fixed-signature constructors
+    # (pig/models.py:235 Wav2VecEncoder(**config['audio']), :230-234
+    # R3DEncoder/ImageEncoder(**video_config)) — peppa_tpu extension keys
+    # (num_layers, dropout, midplanes_multiple) would TypeError on a real
+    # reference install, so the exported blob carries only reference keys.
+    _REF_AUDIO = ("path", "pretrained", "freeze_feature_extractor",
+                  "freeze_encoder_layers", "pooling", "project", "full")
+    _REF_VIDEO = ("pretrained", "project", "version", "pooling", "static")
+    hparams["audio"] = {k: v for k, v in hparams["audio"].items()
+                        if k in _REF_AUDIO}
+    hparams["video"] = {k: v for k, v in hparams["video"].items()
+                        if k in _REF_VIDEO}
     blob: Dict[str, Any] = {
         "state_dict": state,
         "hyper_parameters": hparams,

@@ -324,7 +324,12 @@ class CheckpointManager:
                  "best_model_score": m.best_score,
                  "best_model_path": m.best_path} for m in self.monitors]
 
-    def on_validation_end(self, state, metrics: Dict[str, float], epoch: int) -> None:
+    def on_validation_end(self, state, metrics: Dict[str, float], epoch: int,
+                          epoch_batch_offset: int = 0) -> None:
+        """`epoch` = last fully trained epoch; `epoch_batch_offset` = micro-
+        steps of epoch+1 this state has additionally trained (mid-epoch
+        validations) — recorded in last.ckpt so a crash-resume from it is
+        step-accurate (training/loop.py resume path)."""
         jobs: List[Tuple[str, Dict[str, Any]]] = []
         removals: List[str] = []
         for m in self.monitors:
@@ -341,6 +346,7 @@ class CheckpointManager:
             "monitor": None,
             "best_model_score": None,
             "epoch": epoch,
+            "epoch_batch_offset": int(epoch_batch_offset),
             "metrics": {k: float(v) for k, v in metrics.items()},
             "monitors": [m.meta_dict(epoch, metrics) for m in self.monitors],
         }))

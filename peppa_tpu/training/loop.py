@@ -122,6 +122,7 @@ class Trainer:
                                 params=variables["params"])
             state = TrainState.create(variables, tx)
             start_epoch = 0
+            resume_offset = 0  # micro-steps already trained IN start_epoch
             resume_meta = {}
             if resume_from is not None:
                 from peppa_tpu.training.checkpoint import load_checkpoint
@@ -133,8 +134,18 @@ class Trainer:
                 # batches a continuous run would have seen (bit-identical losses)
                 if isinstance(meta.get("epoch"), int):
                     start_epoch = meta["epoch"] + 1
-                logging.info("Resumed from %s at step %s (epoch %d)", resume_from,
-                             int(np.asarray(state.step)), start_epoch)
+                # STEP-ACCURATE mid-epoch resume: a checkpoint taken mid-epoch
+                # records how many micro-steps of start_epoch were already
+                # trained; the deterministic (seed, epoch) stream is
+                # fast-forwarded past them, so no batch is double-stepped and
+                # the optimizer/schedule trajectory equals an uninterrupted
+                # run's.  Absent (older checkpoints / epoch boundaries): 0,
+                # the replay-free epoch-aligned convention.
+                resume_offset = int(meta.get("epoch_batch_offset") or 0)
+                logging.info("Resumed from %s at step %s (epoch %d, skipping "
+                             "%d already-trained batches)", resume_from,
+                             int(np.asarray(state.step)), start_epoch,
+                             resume_offset)
             with self.mesh:
                 state = jax.tree.map(
                     lambda x, s: jax.device_put(x, s), state,
@@ -197,14 +208,20 @@ class Trainer:
             pending = None  # (micro_step, metrics) of the previous train step
             last_val_step = -1  # last micro_step a validation ran at
             mem_watchdog = HostMemoryWatchdog(cfg.tpu.host_rss_recycle_gb)
+            # micro_step at the start of the CURRENT epoch's stream; offset
+            # by resume_offset so (micro_step - epoch_start_step) always
+            # equals the number of batches consumed from this epoch's stream
+            epoch_start_step = micro_step - resume_offset
 
             def validate_and_checkpoint(state, epoch, micro_step,
-                                        completed_epoch) -> None:
+                                        completed_epoch,
+                                        epoch_batch_offset=0) -> None:
                 """`completed_epoch` is what the checkpoint meta records: the
-                last FULLY trained epoch (resume = completed_epoch + 1).  A
-                mid-epoch validation therefore records epoch-1, so a resume
-                replays the interrupted epoch — the same convention as
-                _on_preempted.  `epoch` is only the metrics-log label."""
+                last FULLY trained epoch; `epoch_batch_offset` is how many
+                micro-steps of epoch completed_epoch+1 the state has already
+                trained (0 at epoch boundaries).  A resume starts at
+                completed_epoch+1 and skips that many batches — step-accurate,
+                no double-stepping.  `epoch` is only the metrics-log label."""
                 nonlocal last_val_step
                 last_val_step = micro_step
                 metrics = run_validation(
@@ -214,14 +231,18 @@ class Trainer:
                 self.logger.log(metrics, step=micro_step, epoch=epoch)
                 logging.info("epoch %d validation: %s", epoch,
                              {k: round(v, 4) for k, v in metrics.items()})
-                ckpt.on_validation_end(state, metrics, completed_epoch)
+                ckpt.on_validation_end(state, metrics, completed_epoch,
+                                       epoch_batch_offset=epoch_batch_offset)
 
             if guard.triggered:
                 # preempted before the first step: the initial/restored
-                # state is consistent; save it and stop
-                self._on_preempted(guard, state, micro_step, epoch)
+                # state is consistent; save it (re-recording any resume
+                # offset — nothing new was trained) and stop
+                self._on_preempted(guard, state, micro_step, epoch,
+                                   micro_step - epoch_start_step)
                 done = True
             epoch_complete = True  # no epoch entered yet counts as complete
+            skip_batches = resume_offset  # only the first (resumed) epoch
             while not done:
                 if tcfg.max_epochs is not None and epoch >= tcfg.max_epochs:
                     break
@@ -230,6 +251,15 @@ class Trainer:
                     import itertools
 
                     stream = itertools.islice(stream, tcfg.limit_train_batches)
+                epoch_start_step = micro_step - skip_batches
+                if skip_batches:
+                    # fast-forward the deterministic stream past the batches
+                    # the pre-preemption run already trained on (they are
+                    # decoded and dropped — never transferred or stepped)
+                    import itertools
+
+                    stream = itertools.islice(stream, skip_batches, None)
+                    skip_batches = 0
                 prefetcher = self._prefetcher = Prefetcher(
                     stream, shard_fn, self.config.tpu.prefetch)
                 epoch_complete = False
@@ -297,8 +327,10 @@ class Trainer:
                         # replaces the per-epoch validation when set)
                         if tcfg.val_check_interval and \
                                 micro_step % tcfg.val_check_interval == 0:
-                            validate_and_checkpoint(state, epoch, micro_step,
-                                                    completed_epoch=epoch - 1)
+                            validate_and_checkpoint(
+                                state, epoch, micro_step,
+                                completed_epoch=epoch - 1,
+                                epoch_batch_offset=micro_step - epoch_start_step)
                         opt_steps = micro_step // accum
                         if max_opt_steps is not None \
                                 and opt_steps >= max_opt_steps:
@@ -312,7 +344,8 @@ class Trainer:
                         if guard.triggered:
                             # scheduler preemption: save a resumable state at
                             # this step boundary, then exit the loop cleanly
-                            self._on_preempted(guard, state, micro_step, epoch)
+                            self._on_preempted(guard, state, micro_step, epoch,
+                                               micro_step - epoch_start_step)
                             done = True
                             break
                     else:
@@ -338,12 +371,14 @@ class Trainer:
                         validate_and_checkpoint(
                             state, epoch, micro_step,
                             completed_epoch=epoch if epoch_complete
-                            else epoch - 1)
+                            else epoch - 1,
+                            epoch_batch_offset=0 if epoch_complete
+                            else micro_step - epoch_start_step)
                 epoch += 1
                 if guard.triggered and not done:
                     # preempted during validation: the epoch is complete, so
-                    # the saved state resumes at the NEXT epoch
-                    self._on_preempted(guard, state, micro_step, epoch)
+                    # the saved state resumes at the NEXT epoch (offset 0)
+                    self._on_preempted(guard, state, micro_step, epoch, 0)
                     break
             # step-based validation: make sure the FINAL state is validated
             # (and thus eligible for best-checkpoint selection) when the run
@@ -358,7 +393,9 @@ class Trainer:
                     validate_and_checkpoint(
                         state, epoch, micro_step,
                         completed_epoch=epoch - 1 if epoch_complete
-                        else epoch - 2)
+                        else epoch - 2,
+                        epoch_batch_offset=0 if epoch_complete
+                        else micro_step - epoch_start_step)
         finally:
             guard.__exit__(None, None, None)
             # an exception mid-epoch (e.g. NonFiniteLossError from the
@@ -372,17 +409,19 @@ class Trainer:
         self.logger.close()
         return state
 
-    def _on_preempted(self, guard, state, micro_step: int, epoch: int) -> None:
+    def _on_preempted(self, guard, state, micro_step: int, epoch: int,
+                      epoch_batch_offset: int = 0) -> None:
         """Write a resumable checkpoint and mark the run preempted.
 
         `epoch` is the epoch the step loop is CURRENTLY in (or, after a
         completed validation, the next one) — the checkpoint's meta records
-        `epoch - 1` as the last completed epoch, so `--resume_from
-        .../preempted.ckpt` replays the interrupted epoch from its start
-        (the train stream is a function of (seed, epoch); already-consumed
-        batches are retrained, which keeps the data order deterministic at
-        the cost of a few duplicated steps).  Only the main process writes;
-        every process stops.
+        `epoch - 1` as the last completed epoch and `epoch_batch_offset`
+        micro-steps already trained in epoch `epoch`.  `--resume_from
+        .../preempted.ckpt` restarts at epoch and SKIPS those batches of the
+        deterministic (seed, epoch) stream — step-accurate resume, no batch
+        is double-stepped and the optimizer/schedule trajectory matches an
+        uninterrupted run's.  Only the main process writes; every process
+        stops.
         """
         path = os.path.join(self.version_dir, "checkpoints", "preempted.ckpt")
         from peppa_tpu.training.checkpoint import save_checkpoint
@@ -391,6 +430,7 @@ class Trainer:
         # main one writes
         save_checkpoint(path, state, {
             "monitor": None, "epoch": epoch - 1,
+            "epoch_batch_offset": int(epoch_batch_offset),
             "monitors": getattr(self, "_ckpt", None).monitor_state()
             if getattr(self, "_ckpt", None) else [],
             "reason": f"preempted by {guard.signame} at step {micro_step}"},

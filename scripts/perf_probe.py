@@ -982,6 +982,66 @@ def probe_rng_cost():
         print(f"rng {name}: {dt_s*1000:.2f} ms", flush=True)
 
 
+def probe_loader_threads():
+    """Native loader assembly rate vs worker-pool size (VERDICT r4 #8).
+
+    Pure host-side: pack -> C++ pool -> padded ClipBatch, no device in the
+    loop.  On this 1-core host the AGGREGATE rate cannot exceed one core's
+    throughput; what the sweep bounds is the pool's own overhead — if the
+    rate holds ~flat under 2/4/8 oversubscribed threads there is no lock
+    contention or false sharing eating the budget, so the PERF.md
+    projection (real host: rate scales with cores until PCIe) rests on
+    measured pool behavior, not assumption.
+    """
+    import json
+
+    from bench import _build_bench_pack
+    from peppa_tpu.native.loader import NativeBatchLoader, NativePack
+
+    frames, samples = 23, 101430
+    b, n_items = 32, 96
+    pack_path = f"/tmp/peppa_loader_scaling_{frames}x{samples}.ppkc"
+    if not os.path.exists(pack_path):
+        _build_bench_pack(pack_path, n_items, frames, samples)
+    pack = NativePack(pack_path)
+    pad = (frames, 100, 180, 3, samples)
+    rng = np.random.default_rng(7)
+    plan = []
+    for _ in range(400):
+        order = rng.permutation(n_items)
+        for lo in range(0, n_items - b + 1, b):
+            plan.append((order[lo:lo + b].tolist(), pad))
+    bytes_per_pair = (frames * 100 * 180 * 3
+                      + samples * np.dtype(pack.audio_dtype).itemsize)
+
+    results = {}
+    for nt in (1, 2, 4, 8):
+        loader = NativeBatchLoader(pack, plan, n_threads=nt, depth=4)
+        try:
+            it = iter(loader)
+            for _ in range(4):  # warm the pool + page cache
+                next(it)
+            t0 = time.perf_counter()
+            k = 0
+            while time.perf_counter() - t0 < 8.0:
+                if next(it, None) is None:
+                    break
+                k += 1
+            dt = time.perf_counter() - t0
+        finally:
+            loader.close()
+        pairs_s = k * b / dt
+        results[nt] = round(pairs_s, 1)
+        print(f"n_threads={nt}: {pairs_s:7.1f} pairs/s "
+              f"({pairs_s * bytes_per_pair / 1e6:6.1f} MB/s, "
+              f"{k} batches in {dt:.1f} s)", flush=True)
+    pack.close()
+    base = results[1]
+    print(json.dumps({"probe": "loader_threads", "pairs_per_sec": results,
+                      "worst_vs_1thread": round(min(results.values()) / base, 3)
+                      if base else None}))
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "video"
     if what == "video":
@@ -1006,6 +1066,8 @@ if __name__ == "__main__":
         probe_rng_cost()
     elif what == "tails":
         probe_tails()
+    elif what == "loader_threads":
+        probe_loader_threads()
     elif what == "train_macro":
         probe_train_macro()
     elif what == "layer_parts":

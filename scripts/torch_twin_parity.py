@@ -28,6 +28,14 @@ def main() -> int:
     ap.add_argument("--num-layers", type=int, default=2)
     ap.add_argument("--out", default="results/torch_twin_parity.csv")
     ap.add_argument("--work-dir", default="/tmp/torch_twin_parity")
+    ap.add_argument("--trained", action="store_true",
+                    help="ALSO train the tiny twin in this framework, export "
+                         "the trained checkpoint to torch, and run the full "
+                         "battery (incl. scrambled + minimal pairs) at an "
+                         "above-chance operating point; rows get a "
+                         "'trained/' prefix and are APPENDED to --out")
+    ap.add_argument("--train-episodes", type=int, default=60)
+    ap.add_argument("--max-epochs", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -36,19 +44,31 @@ def main() -> int:
     from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
-    from tests.torch_twin import run_twin_battery
+    from tests.torch_twin import run_trained_twin_battery, run_twin_battery
 
     os.makedirs(args.work_dir, exist_ok=True)
-    rows = run_twin_battery(
-        args.work_dir, episodes=args.episodes,
-        clips_per_episode=args.clips_per_episode,
-        num_layers=args.num_layers, n_samples=args.n_samples)
+    if args.trained:
+        rows, diag = run_trained_twin_battery(
+            args.work_dir, n_samples=args.n_samples,
+            train_episodes=args.train_episodes,
+            val_episodes=args.episodes,
+            clips_per_episode=args.clips_per_episode,
+            num_layers=args.num_layers, max_epochs=args.max_epochs)
+        print("jax-side operating point:", {k: round(v, 4)
+                                            for k, v in diag.items()})
+    else:
+        rows = run_twin_battery(
+            args.work_dir, episodes=args.episodes,
+            clips_per_episode=args.clips_per_episode,
+            num_layers=args.num_layers, n_samples=args.n_samples)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w", newline="") as f:
+    mode = "a" if args.trained and os.path.exists(args.out) else "w"
+    with open(args.out, mode, newline="") as f:
         w = csv.DictWriter(f, fieldnames=["metric", "torch", "peppa_tpu",
                                           "abs_diff"])
-        w.writeheader()
+        if mode == "w":
+            w.writeheader()
         for r in rows:
             w.writerow({k: (f"{v:.6f}" if isinstance(v, float) else v)
                         for k, v in r.items()})

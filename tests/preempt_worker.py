@@ -41,9 +41,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MAX_EPOCHS = 3
 
 
-def build_config():
+def build_config(mid: bool = False):
     """Tiny-but-real config: conv-only audio trunk, (4,1) 2-process mesh,
-    global-negative loss, per-epoch validation + checkpointing."""
+    global-negative loss, per-epoch validation + checkpointing.
+
+    `mid=True` is the MID-epoch preemption scenario: 3 local batches per
+    epoch so the SIGTERM can land strictly inside an epoch (offset 2 of 3)
+    and the step-accurate resume (epoch_batch_offset meta) is what's being
+    proven."""
     from peppa_tpu.config import Config
 
     cfg = Config()
@@ -58,7 +63,7 @@ def build_config():
     cfg.training.max_time = None
     cfg.training.accumulate_grad_batches = 1
     cfg.training.num_sanity_val_steps = 0
-    cfg.training.limit_train_batches = 2
+    cfg.training.limit_train_batches = 3 if mid else 2
     cfg.training.limit_val_batches = 1
     cfg.training.log_every_n_steps = 1
     cfg.optimizer.t_total = 100
@@ -97,12 +102,37 @@ def main() -> None:
     from peppa_tpu.data.datamodule import SyntheticPigData
     from peppa_tpu.training.loop import Trainer
 
-    cfg = build_config()
+    mid = mode.endswith("_mid")
+    base_mode = mode[:-4] if mid else mode
+    cfg = build_config(mid)
     # 16 train clips -> 4 batches of 4; each of the 2 hosts keeps 1/2 of the
-    # stream -> 2 local batches -> 2 global steps per epoch
-    data = SyntheticPigData(cfg, n_train=16, n_val=4, seed=3)
+    # stream -> 2 local batches -> 2 global steps per epoch (24/3 for `mid`)
+    data = SyntheticPigData(cfg, n_train=24 if mid else 16, n_val=4, seed=3)
 
-    if mode == "preempt":
+    if base_mode == "preempt" and mid:
+        # MID-epoch preemption: block the epoch-1 stream BEFORE yielding its
+        # second batch until the driver has SIGTERM'd both processes.  The
+        # prefetcher's puller blocks here while the main thread trains batch
+        # 0 of the epoch and then waits on the queue; after `sigsent` the
+        # batch flows, gets trained, and the guard flag is observed at that
+        # step boundary -> preempted at offset 2 of a 3-batch epoch.
+        orig_tb = data.train_batches
+
+        def train_batches_hook(epoch=0):
+            for i, b in enumerate(orig_tb(epoch)):
+                if epoch == 1 and i == 1:
+                    with open(os.path.join(outdir, f"val2_{pid}"), "w") as f:
+                        f.write("here")
+                    deadline = time.time() + 300
+                    while not os.path.exists(os.path.join(outdir, "sigsent")):
+                        if time.time() > deadline:
+                            raise RuntimeError("driver never sent SIGTERM")
+                        time.sleep(0.05)
+                    time.sleep(2.0)  # grace: let the signal handler run
+                yield b
+
+        data.train_batches = train_batches_hook
+    elif base_mode == "preempt":
         # trigger the marker protocol from INSIDE fit(): on the 2nd
         # val_loaders() call (sanity is disabled, so calls are the
         # end-of-epoch validations: epoch 0 -> call 1, epoch 1 -> call 2)
@@ -128,7 +158,7 @@ def main() -> None:
     version_dir = os.path.join(outdir, "version_0")
     trainer = Trainer(cfg, log_dir=outdir, version_dir=version_dir)
     resume_from = None
-    if mode == "resume":
+    if base_mode == "resume":
         resume_from = os.path.join(version_dir, "checkpoints",
                                    "preempted.ckpt")
         assert os.path.exists(resume_from), resume_from
@@ -136,15 +166,23 @@ def main() -> None:
 
     result = {"pid": pid, "mode": mode, "preempted": trainer.preempted,
               **state_digest(state)}
-    if mode == "preempt":
+    if base_mode == "preempt":
         assert trainer.preempted, "SIGTERM did not stop the run"
         ckpt = os.path.join(version_dir, "checkpoints", "preempted.ckpt")
         if pid == 0:
             assert os.path.exists(ckpt), "process 0 must publish the ckpt"
             with open(ckpt + ".json") as f:
                 meta = json.load(f)
-            assert meta["epoch"] == 1, meta  # last COMPLETED epoch
+            if mid:
+                # preempted strictly inside epoch 1: last completed epoch 0,
+                # 2 of its 3 batches already trained
+                assert meta["epoch"] == 0, meta
+                assert meta["epoch_batch_offset"] == 2, meta
+            else:
+                assert meta["epoch"] == 1, meta  # last COMPLETED epoch
+                assert meta.get("epoch_batch_offset", 0) == 0, meta
             result["ckpt_meta_epoch"] = meta["epoch"]
+            result["ckpt_meta_offset"] = meta.get("epoch_batch_offset", 0)
     with open(os.path.join(outdir, f"result_{mode}_{pid}.json"), "w") as f:
         json.dump(result, f)
     print(f"worker {pid} mode={mode}: {result}", flush=True)
