@@ -250,11 +250,13 @@ class SyntheticPigData(PigData):
     """Drop-in PigData over synthetic clips (tests/bench without media)."""
 
     def __init__(self, config: Config, n_train: int = 64, n_val: int = 32,
-                 seed: int = 0):
+                 seed: int = 0, n_classes: int = 8):
         super().__init__(config)
         self.n_train = n_train
         self.n_val = n_val
         self.seed = seed
+        # >8 = hard-corpus knob (synthetic.correlated_pair n_classes)
+        self.n_classes = n_classes
 
     def prepare_data(self) -> None:
         pass
@@ -267,12 +269,17 @@ class SyntheticPigData(PigData):
         rng = np.random.default_rng(self.seed)
         ts = d.target_size
         sr = d.audio_sample_rate
+        k = self.n_classes
         self.train = SyntheticClipDataset([dur] * self.n_train, ts, sr,
-                                          seed=self.seed)
+                                          seed=self.seed, n_classes=k)
         self.val_dia = SyntheticClipDataset([d.val.duration or 2.3] * self.n_val,
-                                            ts, sr, seed=self.seed + 1)
+                                            ts, sr, seed=self.seed + 1,
+                                            n_classes=k)
         self.val_narr = SyntheticClipDataset([d.val.duration or 2.3] * self.n_val,
-                                             ts, sr, seed=self.seed + 2)
+                                             ts, sr, seed=self.seed + 2,
+                                             n_classes=k)
         line_durs = [float(x) for x in rng.integers(1, 4, size=self.n_val)]
-        self.val_dia3 = SyntheticClipDataset(line_durs, ts, sr, seed=self.seed + 3)
-        self.val_narr3 = SyntheticClipDataset(line_durs, ts, sr, seed=self.seed + 4)
+        self.val_dia3 = SyntheticClipDataset(line_durs, ts, sr,
+                                             seed=self.seed + 3, n_classes=k)
+        self.val_narr3 = SyntheticClipDataset(line_durs, ts, sr,
+                                              seed=self.seed + 4, n_classes=k)

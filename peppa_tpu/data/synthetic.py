@@ -25,7 +25,8 @@ N_CLASSES = 8  # shared latent classes driving both modalities
 
 def correlated_pair(rng: np.random.Generator, k: int, frames: int,
                     samples: int, w: int, h: int, sample_rate: float,
-                    video_noise: float = 0.08, audio_noise: float = 0.01):
+                    video_noise: float = 0.08, audio_noise: float = 0.01,
+                    n_classes: int = N_CLASSES):
     """One latent class `k` rendered in BOTH modalities.
 
     video: class-colored gradient pattern + noise, float32 in [0, 1],
@@ -33,14 +34,24 @@ def correlated_pair(rng: np.random.Generator, k: int, frames: int,
     (samples,).  A contrastive model trained on clips from this family can
     retrieve across held-out items, so learning is measurable above chance.
     (Same formulas as scripts/recipe_ab.py's on-device twin.)
+
+    `n_classes != 8` (the HARD-corpus knob, e.g. 64 classes for runs that
+    must not saturate) switches the class frequency map to a Nyquist-safe
+    geometric spacing over [80 Hz, 0.4*sample_rate]; the 8-class default
+    keeps the original 80*2^(k/2) map bit-for-bit (tests/goldens depend on
+    the exact waveforms).
     """
-    hue = np.asarray([np.sin(2 * np.pi * (k / N_CLASSES + p))
+    hue = np.asarray([np.sin(2 * np.pi * (k / n_classes + p))
                       for p in (0.0, 1 / 3, 2 / 3)], np.float32)
     grad = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
     base = 0.5 + 0.25 * hue * (0.5 + (k % 2) * grad)
     video = np.clip(base[None] + video_noise * rng.standard_normal(
         (frames, h, w, 3)).astype(np.float32), 0, 1)
-    freq = 80.0 * (2.0 ** (k / 2.0))
+    if n_classes == 8:
+        freq = 80.0 * (2.0 ** (k / 2.0))
+    else:
+        top = 0.4 * sample_rate
+        freq = 80.0 * (top / 80.0) ** (k / max(n_classes - 1, 1))
     tt = np.arange(samples) / sample_rate
     phase = rng.uniform(0, 2 * np.pi)
     audio = (0.1 * np.sin(2 * np.pi * freq * tt + phase)
@@ -55,7 +66,7 @@ class SyntheticClipDataset:
                  target_size: Tuple[int, int] = (180, 100),
                  sample_rate: int = DEFAULT_SAMPLE_RATE,
                  fps: float = FPS, seed: int = 0,
-                 correlated: bool = True):
+                 correlated: bool = True, n_classes: int = N_CLASSES):
         self.durations = list(durations)
         self.target_size = target_size
         self.sample_rate = sample_rate
@@ -64,6 +75,8 @@ class SyntheticClipDataset:
         # correlated: audio/video share per-item structure so a model can
         # actually learn/retrieve; False gives pure noise.
         self.correlated = correlated
+        # >8 classes = the hard-corpus knob (no saturation at schedule scale)
+        self.n_classes = n_classes
 
     def __len__(self) -> int:
         return len(self.durations)
@@ -77,9 +90,10 @@ class SyntheticClipDataset:
         t = max(int(round(dur * self.fps)), 1)
         s = max(int(round(dur * self.sample_rate)), 1)
         if self.correlated:
-            k = int(rng.integers(0, N_CLASSES))
+            k = int(rng.integers(0, self.n_classes))
             video, audio = correlated_pair(rng, k, t, s, w, h,
-                                           self.sample_rate)
+                                           self.sample_rate,
+                                           n_classes=self.n_classes)
         else:
             video = np.clip(
                 rng.uniform(0, 1, size=(1, h, w, 3)).astype(np.float32)

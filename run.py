@@ -61,7 +61,8 @@ def main(args):
 
     if args.synthetic_data:
         data = SyntheticPigData(config, n_train=args.synthetic_train,
-                                n_val=args.synthetic_val)
+                                n_val=args.synthetic_val,
+                                n_classes=args.synthetic_classes)
     else:
         data = PigData(config)
 
@@ -118,4 +119,8 @@ if __name__ == "__main__":
                         help="Train on synthetic clips (no media needed)")
     parser.add_argument("--synthetic_train", type=int, default=64)
     parser.add_argument("--synthetic_val", type=int, default=32)
+    parser.add_argument("--synthetic_classes", type=int, default=8,
+                        help="latent classes in the correlated synthetic "
+                             "corpus; >8 makes the task hard enough not to "
+                             "saturate at schedule scale")
     main(parser.parse_args())

@@ -34,20 +34,47 @@ def main() -> int:
                          "battery (incl. scrambled + minimal pairs) at an "
                          "above-chance operating point; rows get a "
                          "'trained/' prefix and are APPENDED to --out")
+    ap.add_argument("--train-only", action="store_true",
+                    help="with --trained: train + print the version_dir, "
+                         "skip the battery.  Set PEPPA_PLATFORM=tpu to train "
+                         "on the chip (minutes) and run the battery in a "
+                         "separate CPU process (--battery-from), where "
+                         "torch-vs-jax float parity is exact.")
+    ap.add_argument("--battery-from", default=None, metavar="VERSION_DIR",
+                    help="with --trained: skip training, run the battery "
+                         "against this finished run dir (data under "
+                         "<work-dir>/data)")
     ap.add_argument("--train-episodes", type=int, default=60)
     ap.add_argument("--max-epochs", type=int, default=8)
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("PEPPA_PLATFORM", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from peppa_tpu.utils.compile_cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
-    from tests.torch_twin import run_trained_twin_battery, run_twin_battery
+    from tests.torch_twin import (run_trained_battery_from, train_tiny_twin,
+                                  run_trained_twin_battery, run_twin_battery)
 
     os.makedirs(args.work_dir, exist_ok=True)
-    if args.trained:
+    if args.trained and args.train_only:
+        version_dir, data_dir = train_tiny_twin(
+            args.work_dir, train_episodes=args.train_episodes,
+            val_episodes=args.episodes,
+            clips_per_episode=args.clips_per_episode,
+            num_layers=args.num_layers, max_epochs=args.max_epochs)
+        print("version_dir:", version_dir)
+        print("data_dir:", data_dir)
+        return 0
+    elif args.trained and args.battery_from:
+        rows, diag = run_trained_battery_from(
+            args.battery_from, os.path.join(args.work_dir, "data"),
+            n_samples=args.n_samples)
+        print("jax-side operating point:", {k: round(v, 4)
+                                            for k, v in diag.items()})
+    elif args.trained:
         rows, diag = run_trained_twin_battery(
             args.work_dir, n_samples=args.n_samples,
             train_episodes=args.train_episodes,

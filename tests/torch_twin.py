@@ -941,6 +941,8 @@ def train_tiny_twin(work_dir, *, target_size=(64, 48), sample_rate=8000,
     cfg.training.max_epochs = max_epochs
     cfg.training.seed = seed
     cfg.training.num_sanity_val_steps = 0
+    cfg.training.accumulate_grad_batches = 1  # each micro-batch is a step
+    cfg.training.log_every_n_steps = 10
     # LR schedule sized to the run so it completes warmup AND decay
     steps_per_epoch = max(
         (train_episodes * clips_per_episode * int(clip_seconds / 2.3))
@@ -1062,12 +1064,22 @@ def run_trained_twin_battery(work_dir, *, n_samples=500, seed=666,
     diagnostics carries the jax-side absolute metric levels so callers can
     assert the operating point is far from chance (where 1% agreement
     binds — VERDICT r4 Missing #1)."""
+    version_dir, data_dir = train_tiny_twin(work_dir, **train_kw)
+    return run_trained_battery_from(version_dir, data_dir,
+                                    n_samples=n_samples, seed=seed,
+                                    targeted_pairs=targeted_pairs)
+
+
+def run_trained_battery_from(version_dir, data_dir, *, n_samples=500,
+                             seed=666, targeted_pairs=24):
+    """The battery half of run_trained_twin_battery, against an already-
+    trained run dir — so training can happen on the chip (fast) and the
+    battery in a CPU process (exact torch-vs-jax float parity)."""
     from peppa_tpu.evaluation.evaluation import make_predict
     from peppa_tpu.evaluation.targeted import targeted_triplet_score
     from peppa_tpu.models.convert import export_peppa_state_dict
     from peppa_tpu.training.checkpoint import load_best_model
 
-    version_dir, data_dir = train_tiny_twin(work_dir, **train_kw)
     model, variables, config, _ = load_best_model(version_dir)
     predict = make_predict(model, variables)
 
