@@ -73,7 +73,9 @@ def _run_pair(mode: str, outdir, deliver_sigterm: bool = False):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1500)
+            # generous: two full-model CPU compiles on a 1-core host that may
+            # be running the chip feeder + other suites concurrently
+            out, _ = p.communicate(timeout=3000)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

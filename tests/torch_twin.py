@@ -899,8 +899,9 @@ def run_dynamics_twin(steps=60, batch_size=4, n_batches=2, seed=0,
 
 def train_tiny_twin(work_dir, *, target_size=(64, 48), sample_rate=8000,
                     train_episodes=40, val_episodes=17, clips_per_episode=2,
-                    clip_seconds=7.0, num_layers=2, max_epochs=5,
-                    batch_size=8, lr=2e-4, warmup=0.05, seed=0):
+                    clip_seconds=7.0, num_layers=2, max_epochs=16,
+                    batch_size=8, lr=1e-4, warmup=0.1, t_total=15000,
+                    seed=0):
     """Correlated synthetic episode corpus (dialog train / dialog+narration
     val, reference SPLIT_SPEC ranges) -> Trainer.fit of the tiny twin config
     -> (version_dir, data_dir).
@@ -943,13 +944,16 @@ def train_tiny_twin(work_dir, *, target_size=(64, 48), sample_rate=8000,
     cfg.training.num_sanity_val_steps = 0
     cfg.training.accumulate_grad_batches = 1  # each micro-batch is a step
     cfg.training.log_every_n_steps = 10
-    # LR schedule sized to the run so it completes warmup AND decay
-    steps_per_epoch = max(
-        (train_episodes * clips_per_episode * int(clip_seconds / 2.3))
-        // batch_size, 1)
+    # The REAL production schedule (lr 1e-4, warmup 0.1, t_total 15000): a
+    # few hundred steps stay in early warmup, which is where this model
+    # family actually learns — compressing t_total to the run length ramps
+    # the LR to its peak within tens of steps and the embeddings provably
+    # collapse to the constant saddle (loss pins at 2*margin*(1-1/B);
+    # observed for this twin at lr 2e-4/t_total=360, and for both full
+    # recipes at schedule scale — results/soak_schedule_scale/).
     cfg.optimizer.lr = lr
     cfg.optimizer.warmup = warmup
-    cfg.optimizer.t_total = steps_per_epoch * max_epochs
+    cfg.optimizer.t_total = t_total
     cfg.tpu.use_pallas = False
 
     trainer = Trainer(cfg, log_dir=os.path.join(work_dir, "logs"))
