@@ -48,6 +48,7 @@ def tiny_base(data_dir, target_size=(32, 24), sample_rate=800,
     cfg.training.log_every_n_steps = 2
     cfg.optimizer.t_total = max(limit_train_batches * max_epochs, 2)
     cfg.tpu.use_pallas = False
+    cfg.tpu.mesh_shape = (1, 1)  # batch 4 can't shard over 8 virtual devices
     return cfg
 
 
