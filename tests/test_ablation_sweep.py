@@ -33,15 +33,17 @@ def test_all_seven_conditions_train_and_tabulate(tmp_path):
     assert len(versions) == 7 and len(set(versions)) == 7, cond_map
 
     scores = pd.read_csv(os.path.join(results_dir, "scores.csv"))
-    # one row per (version, fragment_type)
-    assert len(scores) == 14, scores
+    # one row per (version, fragment_type, scrambled_video):
+    # full_score always evaluates the scrambled control too
+    # (pig/evaluation.py:79-99) -> 7 x 2 x 2
+    assert len(scores) == 28, scores
     assert set(scores.version) == set(versions)
     for col in ("triplet_acc", "recall_at_10_fixed", "recall_at_10_jitter"):
         assert scores[col].between(0, 1).all(), scores[col]
     # condition columns survived the pipeline (add_condition semantics)
-    assert scores.static.sum() == 2          # static rows only
-    assert (~scores.audio_pretrained).sum() == 4   # pretraining_v + _none
-    assert (~scores.video_pretrained).sum() == 4   # pretraining_a + _none
+    assert scores.static.sum() == 4          # static rows only
+    assert (~scores.audio_pretrained).sum() == 8   # pretraining_v + _none
+    assert (~scores.video_pretrained).sum() == 8   # pretraining_a + _none
     for frag in ("dialog", "narration"):
         tex = os.path.join(results_dir, f"scores_{frag}.tex")
         assert os.path.exists(tex)
