@@ -175,9 +175,12 @@ def main() -> None:
                 meta = json.load(f)
             if mid:
                 # preempted strictly inside epoch 1: last completed epoch 0,
-                # 2 of its 3 batches already trained
+                # 1 or 2 of its 3 batches already trained (which one depends
+                # on when the kernel delivers SIGTERM relative to the guard
+                # check after the batch the hook gates — both are genuinely
+                # mid-epoch; the resume must be exact for EITHER offset)
                 assert meta["epoch"] == 0, meta
-                assert meta["epoch_batch_offset"] == 2, meta
+                assert meta["epoch_batch_offset"] in (1, 2), meta
             else:
                 assert meta["epoch"] == 1, meta  # last COMPLETED epoch
                 assert meta.get("epoch_batch_offset", 0) == 0, meta

@@ -144,10 +144,13 @@ def test_preempt_mid_epoch_step_accurate_resume(tmp_path):
     preempt = _run_pair("preempt_mid", pre_dir, deliver_sigterm=True)
     for i in range(2):
         assert preempt[i]["preempted"], preempt[i]
-    # trained epoch 0 fully (3) + 2 batches of epoch 1
-    assert preempt[0]["step"] == 5
+    # trained epoch 0 fully (3) + 1 or 2 batches of epoch 1 (signal-delivery
+    # timing decides which; the worker asserts meta consistency) — strictly
+    # INSIDE the epoch either way, and step must equal 3 + offset
+    offset = preempt[0]["ckpt_meta_offset"]
     assert preempt[0]["ckpt_meta_epoch"] == 0
-    assert preempt[0]["ckpt_meta_offset"] == 2
+    assert offset in (1, 2), preempt[0]
+    assert preempt[0]["step"] == 3 + offset, preempt[0]
 
     resumed = _run_pair("resume_mid", pre_dir)
     for i in range(2):
