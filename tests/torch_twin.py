@@ -534,7 +534,9 @@ def run_twin_battery(work_dir, *, episodes=12, clips_per_episode=2,
 
     Reference being matched: pig/evaluation.py:68-110 full_score (fixed +
     jitter bootstrap recall, duration-matched triplets) on the narration val
-    split, scrambled_video=False.
+    split.  This random-init entry runs scrambled_video=False; the TRAINED
+    battery (run_trained_twin_battery) adds the scrambled controls and the
+    targeted minimal-pairs path.
     """
     from peppa_tpu.data.synthetic import make_synthetic_episode_tree
     from peppa_tpu.evaluation.evaluation import make_predict
