@@ -153,6 +153,17 @@ class TPUConfig:
     # (bit-exact, verified on hardware; a 2 h soak was OOM-killed at 119 GB
     # without it).  None disables; platforms without the plugin only warn.
     host_rss_recycle_gb: Optional[float] = 48.0
+    # embedding-collapse guard (training/collapse.py): a saturated corpus
+    # plus peak contrastive LR can drive the model into the
+    # constant-embedding saddle, where every micro-batch's train loss pins
+    # at exactly 2*margin*(1-1/B) and the rest of the schedule is
+    # signal-free compute (measured in PERF.md "Schedule-scale recipe
+    # runs").  "stop" ends the run gracefully at detection (the dual
+    # best-checkpoint monitors already hold the pre-collapse optimum, and a
+    # final validation + last.ckpt still happen); "warn" only logs; "off"
+    # disables.
+    collapse_guard: str = "stop"
+    collapse_window: int = 25
 
 
 @dataclass

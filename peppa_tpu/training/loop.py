@@ -89,6 +89,11 @@ class Trainer:
         # set when a scheduler preemption signal stopped fit() early (a
         # resumable checkpoints/preempted.ckpt was written first)
         self.preempted = False
+        # micro_step at which the embedding-collapse guard detected the
+        # constant-embedding saddle (None: never); fit() stops gracefully
+        # there when tpu.collapse_guard == "stop"
+        self.collapsed_at = None
+        self._collapse = None
 
     def fit(self, data, pretrained_loader=None,
             resume_from: Optional[str] = None) -> TrainState:
@@ -191,6 +196,16 @@ class Trainer:
                                    shard_fn=val_shard_fn, n_samples=10,
                                    limit_batches=tcfg.num_sanity_val_steps,
                                    seed=tcfg.seed)
+
+            # ---- failure detection: embedding-collapse guard (SURVEY.md
+            # §5.3; PERF.md "Schedule-scale recipe runs").  Streams every
+            # micro-loss the finiteness watchdog already syncs to host.
+            if cfg.tpu.collapse_guard in ("warn", "stop") \
+                    and cfg.data.train.batch_size >= 2:
+                from peppa_tpu.training.collapse import CollapseDetector
+                self._collapse = CollapseDetector(
+                    cfg.margin, cfg.data.train.batch_size,
+                    window=cfg.tpu.collapse_window)
 
             # ---- budgets
             max_seconds = parse_max_time(tcfg.max_time)
@@ -331,6 +346,15 @@ class Trainer:
                                 state, epoch, micro_step,
                                 completed_epoch=epoch - 1,
                                 epoch_batch_offset=micro_step - epoch_start_step)
+                        if self.collapsed_at is not None \
+                                and cfg.tpu.collapse_guard == "stop":
+                            logging.warning(
+                                "collapse guard: stopping at step %d — the "
+                                "best checkpoints hold the pre-collapse "
+                                "optimum; the remaining schedule would be "
+                                "signal-free", micro_step)
+                            done = True
+                            break
                         opt_steps = micro_step // accum
                         if max_opt_steps is not None \
                                 and opt_steps >= max_opt_steps:
@@ -445,8 +469,27 @@ class Trainer:
         No reference equivalent (SURVEY.md §5.3): Lightning would train on
         silently. Only the main process writes the checkpoint; all processes
         raise so a multi-host job stops everywhere.
+
+        Also streams the loss into the embedding-collapse detector
+        (training/collapse.py) — every micro-loss the loop syncs to host
+        passes through here, so this is the one tap point.  Detection only
+        latches `collapsed_at`; the step loop decides whether to stop
+        (tpu.collapse_guard), keeping this method side-effect-free on the
+        training state.
         """
         if np.isfinite(loss):
+            if self._collapse is not None and self.collapsed_at is None \
+                    and self._collapse.update(loss):
+                self.collapsed_at = micro_step
+                self.logger.log({"collapse/detected_step": float(micro_step)},
+                                step=micro_step, epoch=epoch)
+                logging.warning(
+                    "embedding collapse detected at step %d: train loss "
+                    "pinned at the constant-embedding saddle %.4f "
+                    "(= 2*margin*(1-1/B)) for %d consecutive micro-steps "
+                    "after having reached %.4f", micro_step,
+                    self._collapse.saddle, self._collapse.window,
+                    self._collapse.best)
             return
         path = os.path.join(self.version_dir, "checkpoints",
                             "emergency-nonfinite.ckpt")
